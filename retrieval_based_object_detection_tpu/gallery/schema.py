@@ -1,0 +1,242 @@
+"""Payload schema and filter algebra for the vector gallery.
+
+The 8-field payload contract is fixed by the reference
+(31_clip_embedding_and_save_vector.py:166-175):
+
+    data_type      : "original_images" | "natural_images"
+    is_cropped     : bool
+    is_segmented   : bool
+    is_augmented   : bool
+    class_name     : str
+    is_delegate    : bool
+    delegate_type  : None | "average" | "centroid" | "weighted" | "medoid"
+    img_path       : str
+
+Filters are conjunctions of exact matches over these fields — the only filter
+shape the reference ever issues (32_create_delegate_vector.py:104-131,
+33_run_all_experiments.py:117-137). We therefore model a filter as a simple
+``must`` mapping of field → value. Evaluation happens host-side against
+columnar NumPy arrays, producing a boolean row mask that the device-side
+search consumes as an additive penalty (static shapes, no gathers).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Iterator, Mapping
+
+import numpy as np
+
+FIELDS: tuple[str, ...] = (
+    "data_type",
+    "is_cropped",
+    "is_segmented",
+    "is_augmented",
+    "class_name",
+    "is_delegate",
+    "delegate_type",
+    "img_path",
+)
+
+BOOL_FIELDS: frozenset[str] = frozenset(
+    {"is_cropped", "is_segmented", "is_augmented", "is_delegate"}
+)
+STR_FIELDS: frozenset[str] = frozenset(
+    {"data_type", "class_name", "delegate_type", "img_path"}
+)
+
+DELEGATE_TYPES: tuple[str, ...] = ("average", "centroid", "weighted", "medoid")
+
+# The three preprocessing cases of the experiment grid, exactly as constructed
+# at 32_create_delegate_vector.py:104-117 and 33_run_all_experiments.py:122-137.
+PRE_CASES: dict[str, dict[str, Any]] = {
+    "pre_a": {"is_cropped": True, "is_segmented": False, "is_augmented": False},
+    "pre_b": {"is_segmented": True, "is_augmented": False},
+    "pre_c": {"is_augmented": True},
+}
+
+
+@dataclass(frozen=True)
+class Payload:
+    """One gallery point's metadata (the 8-field contract)."""
+
+    data_type: str
+    class_name: str
+    img_path: str = ""
+    is_cropped: bool = True
+    is_segmented: bool = False
+    is_augmented: bool = False
+    is_delegate: bool = False
+    delegate_type: str | None = None
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "data_type": self.data_type,
+            "is_cropped": self.is_cropped,
+            "is_segmented": self.is_segmented,
+            "is_augmented": self.is_augmented,
+            "class_name": self.class_name,
+            "is_delegate": self.is_delegate,
+            "delegate_type": self.delegate_type,
+            "img_path": self.img_path,
+        }
+
+    @staticmethod
+    def from_dict(d: Mapping[str, Any]) -> "Payload":
+        return Payload(
+            data_type=d.get("data_type", ""),
+            is_cropped=bool(d.get("is_cropped", False)),
+            is_segmented=bool(d.get("is_segmented", False)),
+            is_augmented=bool(d.get("is_augmented", False)),
+            class_name=d.get("class_name", ""),
+            is_delegate=bool(d.get("is_delegate", False)),
+            delegate_type=d.get("delegate_type"),
+            img_path=d.get("img_path", ""),
+        )
+
+
+@dataclass(frozen=True)
+class Filter:
+    """Conjunction of exact-match conditions: ``{field: value}``.
+
+    ``Filter(must={"class_name": "cola", "is_delegate": False})`` matches rows
+    where every listed field equals the given value. ``None`` values match
+    rows whose field is ``None`` (relevant only for ``delegate_type``).
+    """
+
+    must: Mapping[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        for k in self.must:
+            if k not in FIELDS:
+                raise KeyError(f"unknown payload field in filter: {k!r}")
+
+    def __and__(self, other: "Filter") -> "Filter":
+        merged = dict(self.must)
+        merged.update(other.must)
+        return Filter(must=merged)
+
+    def items(self) -> Iterator[tuple[str, Any]]:
+        return iter(self.must.items())
+
+    @staticmethod
+    def for_case(case: str) -> "Filter":
+        """Filter for one preprocessing case (pre_a / pre_b / pre_c)."""
+        return Filter(must=dict(PRE_CASES[case]))
+
+
+class PayloadColumns:
+    """Columnar host-side storage of payloads with vectorised filter eval.
+
+    Low-cardinality string fields (``data_type``, ``class_name``,
+    ``delegate_type``) are dictionary-encoded to int32 codes so equality
+    filters are integer compares; ``img_path`` is a high-cardinality object
+    column queried only by exact match (33_run_all_experiments.py:96-110),
+    backed by a hash map for O(1) lookup.
+    """
+
+    _CODED = ("data_type", "class_name", "delegate_type")
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self.size = 0
+        self._codes: dict[str, dict[Any, int]] = {f: {} for f in self._CODED}
+        self._decode: dict[str, list[Any]] = {f: [] for f in self._CODED}
+        self._cols: dict[str, np.ndarray] = {}
+        for f in self._CODED:
+            self._cols[f] = np.full(capacity, -1, dtype=np.int32)
+        for f in BOOL_FIELDS:
+            self._cols[f] = np.zeros(capacity, dtype=bool)
+        self._img_path = np.empty(capacity, dtype=object)
+        self._path_index: dict[str, int] = {}
+
+    def _encode(self, fieldname: str, value: Any) -> int:
+        codes = self._codes[fieldname]
+        if value not in codes:
+            codes[value] = len(codes)
+            self._decode[fieldname].append(value)
+        return codes[value]
+
+    def _lookup_code(self, fieldname: str, value: Any) -> int:
+        """Code for filtering; -2 means 'matches nothing'."""
+        return self._codes[fieldname].get(value, -2)
+
+    def grow(self, new_capacity: int) -> None:
+        assert new_capacity >= self.capacity
+        for f in self._CODED:
+            col = np.full(new_capacity, -1, dtype=np.int32)
+            col[: self.capacity] = self._cols[f]
+            self._cols[f] = col
+        for f in BOOL_FIELDS:
+            col = np.zeros(new_capacity, dtype=bool)
+            col[: self.capacity] = self._cols[f]
+            self._cols[f] = col
+        img = np.empty(new_capacity, dtype=object)
+        img[: self.capacity] = self._img_path
+        self._img_path = img
+        self.capacity = new_capacity
+
+    def set_row(self, row: int, payload: Payload) -> None:
+        old_path = self._img_path[row] if row < self.size else None
+        if old_path is not None and self._path_index.get(old_path) == row:
+            del self._path_index[old_path]
+        for f in self._CODED:
+            self._cols[f][row] = self._encode(f, getattr(payload, f))
+        for f in BOOL_FIELDS:
+            self._cols[f][row] = getattr(payload, f)
+        self._img_path[row] = payload.img_path
+        if payload.img_path:
+            self._path_index[payload.img_path] = row
+        self.size = max(self.size, row + 1)
+
+    def get_row(self, row: int) -> Payload:
+        kw: dict[str, Any] = {}
+        for f in self._CODED:
+            code = int(self._cols[f][row])
+            kw[f] = self._decode[f][code] if code >= 0 else None
+        for f in BOOL_FIELDS:
+            kw[f] = bool(self._cols[f][row])
+        kw["img_path"] = self._img_path[row] or ""
+        return Payload(**kw)
+
+    def row_by_path(self, img_path: str) -> int | None:
+        return self._path_index.get(img_path)
+
+    def mask(self, flt: Filter | None) -> np.ndarray:
+        """Boolean mask over rows [0, size) matching the filter."""
+        m = np.ones(self.size, dtype=bool)
+        if flt is None:
+            return m
+        for fieldname, value in flt.items():
+            if fieldname in BOOL_FIELDS:
+                m &= self._cols[fieldname][: self.size] == bool(value)
+            elif fieldname == "img_path":
+                pm = np.zeros(self.size, dtype=bool)
+                row = self._path_index.get(value)
+                if row is not None:
+                    pm[row] = True
+                m &= pm
+            else:
+                code = self._lookup_code(fieldname, value)
+                m &= self._cols[fieldname][: self.size] == code
+        return m
+
+    def compact(self, keep: np.ndarray) -> np.ndarray:
+        """Keep only rows where ``keep`` is True; returns old→new row map."""
+        assert keep.shape == (self.size,)
+        new_rows = np.cumsum(keep) - 1
+        n_new = int(keep.sum())
+        for f in self._CODED:
+            self._cols[f][:n_new] = self._cols[f][: self.size][keep]
+            self._cols[f][n_new : self.size] = -1
+        for f in BOOL_FIELDS:
+            self._cols[f][:n_new] = self._cols[f][: self.size][keep]
+            self._cols[f][n_new : self.size] = False
+        kept_paths = self._img_path[: self.size][keep]
+        self._img_path[:n_new] = kept_paths
+        self._img_path[n_new : self.size] = None
+        self.size = n_new
+        self._path_index = {
+            p: i for i, p in enumerate(self._img_path[:n_new]) if p
+        }
+        return new_rows

@@ -1,0 +1,84 @@
+"""Device-side cosine top-k search over the padded gallery.
+
+The reference computes cosine similarity one pair at a time in NumPy on the
+host (33_run_all_experiments.py:76-77) after per-image HTTP round trips to
+Qdrant. Here the entire gallery is a padded ``jax.Array`` resident in HBM and
+a query batch is answered by one fused matmul (MXU) + masked ``top_k`` —
+payload filters arrive as boolean row masks and become additive ``-inf``
+penalties, so shapes stay static and XLA fuses normalisation, masking and the
+similarity matmul into a single pass over HBM.
+
+Two precision modes:
+  * ``exact=True``  — float32 with ``Precision.HIGHEST`` (parity with the
+    host-NumPy reference math; used by the experiment grid).
+  * ``exact=False`` — bfloat16 MXU path for serving throughput.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# Plain Python float: importing this module must not initialise a backend.
+NEG_INF = -1e30
+
+
+def l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Row-wise L2 normalisation in float32."""
+    x = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return x / jnp.maximum(norm, eps)
+
+
+@partial(jax.jit, static_argnames=("k", "exact"))
+def masked_cosine_topk(
+    queries: jax.Array,  # [Q, D] unnormalised
+    gallery: jax.Array,  # [N, D] unnormalised, padded
+    mask: jax.Array,  # [N] bool — valid AND filter-matching rows
+    k: int,
+    exact: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (scores [Q, k], row_indices [Q, k]) of best cosine matches.
+
+    Rows where ``mask`` is False score ``-inf`` and can never enter the
+    top-k unless fewer than k rows match (callers check scores > NEG_INF/2).
+    """
+    q = l2_normalize(queries)
+    g = l2_normalize(gallery)
+    if exact:
+        scores = jnp.dot(
+            q, g.T, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        scores = jnp.dot(
+            q.astype(jnp.bfloat16),
+            g.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )
+    scores = jnp.where(mask[None, :], scores, NEG_INF)
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    return top_scores, top_idx
+
+
+@partial(jax.jit, static_argnames=("exact",))
+def masked_cosine_scores(
+    queries: jax.Array,
+    gallery: jax.Array,
+    mask: jax.Array,
+    exact: bool = True,
+) -> jax.Array:
+    """Full [Q, N] masked cosine similarity matrix (for score distributions)."""
+    q = l2_normalize(queries)
+    g = l2_normalize(gallery)
+    precision = jax.lax.Precision.HIGHEST if exact else None
+    scores = jnp.dot(q, g.T, precision=precision,
+                     preferred_element_type=jnp.float32)
+    return jnp.where(mask[None, :], scores, NEG_INF)
+
+
+def pad_rows(n: int, multiple: int = 256) -> int:
+    """Round row count up to a TPU-friendly multiple (lane-aligned tiles)."""
+    return max(multiple, -(-n // multiple) * multiple)

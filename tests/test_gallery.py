@@ -1,0 +1,199 @@
+"""Gallery store: Qdrant-contract semantics (upsert/scroll/count/delete/search)."""
+
+import numpy as np
+import pytest
+
+from retrieval_based_object_detection_tpu.gallery import Filter, Payload
+from retrieval_based_object_detection_tpu.gallery.persist import (
+    load_store,
+    save_store,
+)
+from retrieval_based_object_detection_tpu.gallery.store import Gallery, VectorStore
+from retrieval_based_object_detection_tpu.utils.ids import (
+    delegate_id,
+    point_id_from_path,
+)
+
+DIM = 16
+
+
+def make_payload(cls="cola", seg=False, aug=False, delegate=None, path=""):
+    return Payload(
+        data_type="original_images",
+        class_name=cls,
+        img_path=path,
+        is_cropped=True,
+        is_segmented=seg,
+        is_augmented=aug,
+        is_delegate=delegate is not None,
+        delegate_type=delegate,
+    )
+
+
+def fill(g, n=10, cls="cola", rng=None, seg=False):
+    rng = rng or np.random.default_rng(1)
+    vecs = rng.normal(size=(n, DIM)).astype(np.float32)
+    ids = [f"{cls}-{seg}-{i}" for i in range(n)]
+    pls = [make_payload(cls=cls, seg=seg, path=f"/data/{cls}/{seg}/{i}.png")
+           for i in range(n)]
+    g.upsert(ids, vecs, pls)
+    return ids, vecs
+
+
+def test_upsert_is_idempotent(rng):
+    g = Gallery("t", dim=DIM)
+    ids, vecs = fill(g, 5, rng=rng)
+    assert len(g) == 5
+    # Re-upsert same ids with new vectors: count unchanged, vectors replaced.
+    new_vecs = rng.normal(size=(5, DIM)).astype(np.float32)
+    g.upsert(ids, new_vecs, [make_payload() for _ in ids])
+    assert len(g) == 5
+    rec = g.retrieve([ids[2]])[0]
+    np.testing.assert_allclose(rec.vector, new_vecs[2])
+
+
+def test_count_and_filter(rng):
+    g = Gallery("t", dim=DIM)
+    fill(g, 7, cls="cola", rng=rng, seg=False)
+    fill(g, 4, cls="fanta", rng=rng, seg=True)
+    assert g.count() == 11
+    assert g.count(Filter(must={"class_name": "cola"})) == 7
+    assert g.count(Filter(must={"is_segmented": True})) == 4
+    assert g.count(Filter(must={"class_name": "fanta", "is_segmented": True})) == 4
+    assert g.count(Filter(must={"class_name": "fanta", "is_segmented": False})) == 0
+    assert g.count(Filter(must={"class_name": "nope"})) == 0
+
+
+def test_filter_unknown_field_raises():
+    with pytest.raises(KeyError):
+        Filter(must={"bogus": 1})
+
+
+def test_scroll_pagination(rng):
+    g = Gallery("t", dim=DIM)
+    ids, _ = fill(g, 25, rng=rng)
+    seen = []
+    offset = 0
+    while offset is not None:
+        recs, offset = g.scroll(limit=10, offset=offset)
+        seen.extend(r.id for r in recs)
+    assert seen == ids
+
+
+def test_scroll_with_vectors_and_payload(rng):
+    g = Gallery("t", dim=DIM)
+    ids, vecs = fill(g, 3, rng=rng)
+    recs, _ = g.scroll(with_vectors=True, limit=10)
+    np.testing.assert_allclose(recs[1].vector, vecs[1])
+    assert recs[1].payload.class_name == "cola"
+    assert recs[1].payload.delegate_type is None
+
+
+def test_get_by_path(rng):
+    g = Gallery("t", dim=DIM)
+    fill(g, 5, rng=rng)
+    rec = g.get_by_path("/data/cola/False/3.png")
+    assert rec is not None and rec.id == "cola-False-3"
+    assert g.get_by_path("/nowhere.png") is None
+
+
+def test_delete_by_id_and_filter(rng):
+    g = Gallery("t", dim=DIM)
+    ids, _ = fill(g, 6, cls="cola", rng=rng)
+    fill(g, 4, cls="fanta", rng=rng)
+    assert g.delete(ids=[ids[0], ids[1]]) == 2
+    assert len(g) == 8
+    assert g.delete(flt=Filter(must={"class_name": "fanta"})) == 4
+    assert len(g) == 4
+    # Path index survives compaction.
+    assert g.get_by_path("/data/cola/False/3.png").id == "cola-False-3"
+
+
+def test_search_exact_cosine(rng):
+    g = Gallery("t", dim=DIM)
+    ids, vecs = fill(g, 50, rng=rng)
+    q = vecs[17] + 0.001 * rng.normal(size=DIM).astype(np.float32)
+    hits = g.search(q, k=3)[0]
+    assert hits[0].id == ids[17]
+    # Score equals NumPy cosine within float32 tolerance.
+    expected = float(
+        np.dot(q, vecs[17]) / (np.linalg.norm(q) * np.linalg.norm(vecs[17]))
+    )
+    assert abs(hits[0].score - expected) < 1e-5
+
+
+def test_search_with_filter(rng):
+    g = Gallery("t", dim=DIM)
+    fill(g, 10, cls="cola", rng=rng)
+    ids_f, vecs_f = fill(g, 10, cls="fanta", rng=rng)
+    q = vecs_f[0]
+    hits = g.search(q, k=5, flt=Filter(must={"class_name": "cola"}))[0]
+    assert all(h.payload.class_name == "cola" for h in hits)
+    hits = g.search(q, k=1, flt=Filter(must={"class_name": "fanta"}))[0]
+    assert hits[0].id == ids_f[0]
+
+
+def test_search_fewer_matches_than_k(rng):
+    g = Gallery("t", dim=DIM)
+    fill(g, 3, rng=rng)
+    hits = g.search(np.ones(DIM, np.float32), k=10)[0]
+    assert len(hits) == 3
+
+
+def test_search_empty_gallery():
+    g = Gallery("t", dim=DIM)
+    assert g.search(np.ones(DIM, np.float32), k=5) == [[]]
+
+
+def test_growth_beyond_initial_capacity(rng):
+    g = Gallery("t", dim=DIM, capacity=8)
+    fill(g, 100, rng=rng)
+    assert len(g) == 100
+    assert g.count(Filter(must={"class_name": "cola"})) == 100
+
+
+def test_vector_store_crud():
+    store = VectorStore()
+    store.create_collection("a", dim=DIM)
+    store.create_collection("b", dim=DIM)
+    assert [n for n, _ in store.list_collections()] == ["a", "b"]
+    store.rename_collection("a", "c")
+    assert "a" not in store and "c" in store
+    store.delete_collection("b")
+    assert len(store.list_collections()) == 1
+    assert store.delete_all_collections() == 1
+
+
+def test_persistence_roundtrip(tmp_path, rng):
+    store = VectorStore()
+    g = store.create_collection("snap", dim=DIM)
+    ids, vecs = fill(g, 12, rng=rng)
+    g.upsert(
+        [delegate_id({"class_name": "cola", "data_type": "original_images",
+                      "is_segmented": False, "is_augmented": False}, "average")],
+        vecs[:1],
+        [make_payload(delegate="average")],
+    )
+    save_store(store, tmp_path)
+    loaded = load_store(tmp_path)
+    g2 = loaded.get("snap")
+    assert len(g2) == 13
+    np.testing.assert_allclose(g2.retrieve([ids[5]])[0].vector, vecs[5])
+    assert g2.count(Filter(must={"is_delegate": True})) == 1
+    assert g2.get_by_path("/data/cola/False/2.png").id == "cola-False-2"
+
+
+def test_point_ids_match_reference_scheme(tmp_path):
+    # MD5-of-resolved-path (31_clip_embedding_and_save_vector.py:42-43).
+    import hashlib
+    from pathlib import Path
+
+    p = tmp_path / "x.png"
+    expected = hashlib.md5(str(Path(p).resolve()).encode()).hexdigest()
+    assert point_id_from_path(p) == expected
+
+    # Delegate key layout (32_create_delegate_vector.py:29-31).
+    payload = {"class_name": "c", "data_type": "original_images",
+               "is_segmented": False, "is_augmented": True}
+    key = "c::medoid::original_images::False::True"
+    assert delegate_id(payload, "medoid") == hashlib.md5(key.encode()).hexdigest()
