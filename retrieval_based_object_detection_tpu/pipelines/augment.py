@@ -1,0 +1,145 @@
+"""Augmentation stage (the 23_* stage): ~26 variants per segmented image.
+
+Grid (23_augmentation.py:10-13): 6 brightness rates, 11 rotations with
+expanded transparent canvas, 3 noise types × 3 levels. Filename postfixes
+follow the reference scheme (23:66-73, 86-112):
+
+  <stem>_brightness_{p20,p10,p5,n5,n10,n20}<ext>
+  <stem>_rot{30..330}<ext>
+  <stem>_{gaussian,blur,snp}noise_{1,2,3}<ext>
+
+Bug fixed vs reference: 23 iterates noise type ``'s&p'`` but dispatches on
+``'snp'`` (23:12 vs 23:108), so its salt&pepper variants are never written.
+Here the type key is ``snp`` end-to-end and the variants ARE produced —
+26 files per input instead of the reference's effective 23.
+
+All pixel math runs in JAX (ops.image); deterministic per-file noise keys
+derive from a base seed + the file's index so re-runs are reproducible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from retrieval_based_object_detection_tpu.ops import image as I
+from retrieval_based_object_detection_tpu.utils import tree
+
+
+@dataclasses.dataclass
+class AugmentConfig:
+    src_root: str = "dataset_segmented"
+    dst_root: str = "dataset_augmented"
+    img_type: str = "original"
+    classes: list[str] | None = None
+    brightness_rates: tuple[float, ...] = I.BRIGHTNESS_RATES
+    rotation_angles: tuple[int, ...] = I.ROTATION_ANGLES
+    noise_types: tuple[str, ...] = I.NOISE_TYPES
+    noise_levels: tuple[float, ...] = I.NOISE_LEVELS
+    seed: int = 0
+
+
+def postfix_num(val) -> str:
+    """'+20'→'p20', '-5'→'n5', '30'→'30' (23_augmentation.py:66-73)."""
+    sval = str(val)
+    if sval.startswith("+"):
+        return "p" + sval[1:]
+    if sval.startswith("-"):
+        return "n" + sval[1:]
+    return sval
+
+
+def variant_names(stem: str, ext: str, cfg: AugmentConfig) -> list[str]:
+    """The full expected output filename list for one input image."""
+    names = []
+    for rate in cfg.brightness_rates:
+        delta = int((rate - 1) * 100)
+        names.append(f"{stem}_brightness_{postfix_num(f'{delta:+d}')}{ext}")
+    for angle in cfg.rotation_angles:
+        names.append(f"{stem}_rot{postfix_num(angle)}{ext}")
+    for ntype in cfg.noise_types:
+        for level in cfg.noise_levels:
+            names.append(
+                f"{stem}_{ntype}noise_{postfix_num(int(level * 100))}{ext}")
+    return names
+
+
+def augment_array(img: np.ndarray, cfg: AugmentConfig,
+                  key: jax.Array) -> list[tuple[str, np.ndarray]]:
+    """All variants of one [H, W, C] uint8 image → [(name_suffix, array)].
+
+    Suffix excludes stem/ext; caller builds filenames. RGBA alpha is kept
+    and transformed alongside RGB (brightness scales it like PIL does;
+    rotation fills with transparent).
+    """
+    x = img.astype(np.float32)
+    out: list[tuple[str, np.ndarray]] = []
+
+    for rate in cfg.brightness_rates:
+        delta = int((rate - 1) * 100)
+        arr = np.asarray(I.brightness(x, rate), np.uint8)
+        out.append((f"brightness_{postfix_num(f'{delta:+d}')}", arr))
+
+    for angle in cfg.rotation_angles:
+        arr = np.asarray(
+            I.rotate_expand(x, float(angle)), np.float32
+        ).clip(0, 255).astype(np.uint8)
+        out.append((f"rot{postfix_num(angle)}", arr))
+
+    keys = jax.random.split(key, len(cfg.noise_types) * len(cfg.noise_levels))
+    ki = 0
+    for ntype in cfg.noise_types:
+        for level in cfg.noise_levels:
+            pf = postfix_num(int(level * 100))
+            if ntype == "gaussian":
+                arr = I.gaussian_noise(x, level, keys[ki])
+            elif ntype == "blur":
+                arr = I.gaussian_blur(x, int(2 * int(level * 100)))
+            elif ntype == "snp":
+                arr = I.salt_pepper(x, level, keys[ki])
+            else:
+                ki += 1
+                continue
+            ki += 1
+            out.append((f"{ntype}noise_{pf}",
+                        np.asarray(arr, np.float32).clip(0, 255).astype(np.uint8)))
+    return out
+
+
+@dataclasses.dataclass
+class AugmentResult:
+    n_inputs: int
+    n_written: int
+    n_failed: int
+
+
+def run_augment(cfg: AugmentConfig) -> AugmentResult:
+    from PIL import Image
+
+    base_key = jax.random.key(cfg.seed)
+    n_in = n_out = n_fail = 0
+    classes = (cfg.classes if cfg.classes is not None
+               else tree.list_classes(cfg.src_root, cfg.img_type))
+    idx = 0
+    for cls in classes:
+        dst_dir = tree.type_dir(cfg.dst_root, cfg.img_type) / cls
+        dst_dir.mkdir(parents=True, exist_ok=True)
+        for img_path in tree.list_images(cfg.src_root, cfg.img_type, cls):
+            idx += 1
+            try:
+                with Image.open(img_path) as im:
+                    arr = np.asarray(im.convert("RGBA"))
+            except Exception:
+                n_fail += 1
+                continue
+            n_in += 1
+            key = jax.random.fold_in(base_key, idx)
+            ext = img_path.suffix.lower()
+            for suffix, out_arr in augment_array(arr, cfg, key):
+                Image.fromarray(out_arr).save(
+                    dst_dir / f"{img_path.stem}_{suffix}{ext}")
+                n_out += 1
+    return AugmentResult(n_inputs=n_in, n_written=n_out, n_failed=n_fail)

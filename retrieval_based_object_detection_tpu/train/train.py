@@ -1,0 +1,129 @@
+"""Supervised fine-tuning of the CLIP tower with a classification head.
+
+The reference never trains — it uses frozen CLIP zero-shot embeddings. A
+production retrieval deployment, however, fine-tunes the tower on the
+product catalogue; this module provides that as a fully sharded (dp × tp)
+``pjit`` train step: images → CLIP tower → linear head → softmax
+cross-entropy, AdamW, with parameters laid out by
+``parallel.sharding.clip_param_specs`` and batches sharded over ``dp``.
+
+The same step doubles as the framework's multi-chip validation path
+(``__graft_entry__.dryrun_multichip``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from retrieval_based_object_detection_tpu.models.clip import model as clip_model
+from retrieval_based_object_detection_tpu.parallel import sharding as shard_rules
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    num_classes: int
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.01
+    compute_dtype: str = "bfloat16"
+    remat: bool = True  # rematerialise blocks to trade FLOPs for HBM
+
+
+def init_state(
+    clip_config: clip_model.CLIPVisionConfig,
+    train_config: TrainConfig,
+    seed: int = 0,
+    params: Any | None = None,
+):
+    """(params, opt_state). ``params`` adds a ``head`` {w, b} to the tower."""
+    tower = params if params is not None else clip_model.init_params(
+        clip_config, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    head = {
+        "w": jnp.asarray(
+            rng.normal(0, clip_config.embed_dim ** -0.5,
+                       (clip_config.embed_dim, train_config.num_classes)
+                       ).astype(np.float32)),
+        "b": jnp.zeros((train_config.num_classes,), jnp.float32),
+    }
+    full = {"tower": tower, "head": head}
+    tx = make_optimizer(train_config)
+    return full, tx.init(full)
+
+
+def make_optimizer(cfg: TrainConfig):
+    return optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+
+
+def loss_fn(params, images, labels, clip_config, cfg: TrainConfig):
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    encode = clip_model.encode_image
+    if cfg.remat:
+        encode = jax.checkpoint(
+            encode, static_argnums=(2, 3),
+            policy=jax.checkpoint_policies.nothing_saveable,
+        )
+    emb = encode(params["tower"], images, clip_config, dtype)
+    logits = jnp.dot(emb, params["head"]["w"],
+                     preferred_element_type=jnp.float32) + params["head"]["b"]
+    logp = jax.nn.log_softmax(logits)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
+    acc = (jnp.argmax(logits, axis=1) == labels).mean()
+    return nll, acc
+
+
+def param_shardings(mesh: Mesh):
+    """Shardings for the full (tower + head) param pytree."""
+    has_tp = "tp" in mesh.axis_names and mesh.shape["tp"] > 1
+    tower = shard_rules.clip_param_specs(has_tp)
+    specs = {
+        "tower": tower,
+        "head": {"w": P(None, None), "b": P(None)},
+    }
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def make_train_step(
+    clip_config: clip_model.CLIPVisionConfig,
+    cfg: TrainConfig,
+    mesh: Mesh,
+):
+    """jit-compiled sharded train step: (params, opt, imgs, labels) →
+    (params, opt, metrics). Param/optimizer shardings follow the tp layout;
+    batches shard over dp; XLA inserts the gradient psums."""
+    tx = make_optimizer(cfg)
+    p_shard = param_shardings(mesh)
+    batch_shard = NamedSharding(mesh, P("dp"))
+    label_shard = NamedSharding(mesh, P("dp"))
+
+    def step(params, opt_state, images, labels):
+        (loss, acc), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, images, labels, clip_config, cfg)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "accuracy": acc}
+
+    return jax.jit(
+        step,
+        in_shardings=(p_shard, None, batch_shard, label_shard),
+        out_shardings=(p_shard, None, None),
+        donate_argnums=(0, 1),
+    )
+
+
+def place(params, opt_state, mesh: Mesh):
+    """Move params/opt_state onto the mesh with the training layout."""
+    p_shard = param_shardings(mesh)
+    params = jax.tree.map(jax.device_put, params, p_shard)
+    rep = NamedSharding(mesh, P())
+    opt_state = jax.tree.map(lambda a: jax.device_put(a, rep), opt_state)
+    return params, opt_state

@@ -1,0 +1,116 @@
+"""Multi-device tests on the 8-way virtual CPU mesh: sharded gallery
+top-k exactness and the dp x tp train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from retrieval_based_object_detection_tpu.gallery import search as search_lib
+from retrieval_based_object_detection_tpu.gallery.sharded import (
+    ShardedGallerySearcher,
+    build_sharded,
+    sharded_topk,
+)
+from retrieval_based_object_detection_tpu.models.clip.model import CLIPVisionConfig
+from retrieval_based_object_detection_tpu.parallel.mesh import gallery_mesh, make_mesh
+from retrieval_based_object_detection_tpu.train import train as T
+
+TINY = CLIPVisionConfig(image_size=32, patch_size=16, width=64, layers=2,
+                        heads=1, embed_dim=32)
+
+
+def test_make_mesh_axes():
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    with pytest.raises(ValueError):
+        make_mesh({"dp": 3})
+
+
+def test_sharded_topk_matches_single_device(rng):
+    mesh = gallery_mesh(8)
+    n, d, q, k = 1000, 64, 7, 10
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    mask = rng.random(n) < 0.8
+    queries = rng.normal(size=(q, d)).astype(np.float32)
+
+    # Single-device reference path.
+    padded = search_lib.pad_rows(n)
+    buf = np.zeros((padded, d), np.float32)
+    buf[:n] = vectors
+    mbuf = np.zeros(padded, bool)
+    mbuf[:n] = mask
+    ref_s, ref_i = search_lib.masked_cosine_topk(
+        jnp.asarray(queries), jnp.asarray(buf), jnp.asarray(mbuf), k=k)
+
+    searcher = ShardedGallerySearcher(vectors, mask, mesh)
+    got_s, got_i = searcher.search(queries, k=k)
+
+    np.testing.assert_allclose(got_s, np.asarray(ref_s), atol=1e-5)
+    # Indices: sharded padding changes global row numbering of padded rows,
+    # but all real top-k rows must be identical.
+    ref_rows = np.asarray(ref_i)
+    np.testing.assert_array_equal(got_i, ref_rows)
+
+
+def test_sharded_topk_respects_mask(rng):
+    mesh = gallery_mesh(8)
+    n, d = 256, 32
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    # Only rows 100..110 allowed.
+    mask = np.zeros(n, bool)
+    mask[100:110] = True
+    searcher = ShardedGallerySearcher(vectors, mask, mesh)
+    scores, idx = searcher.search(vectors[105], k=5)
+    assert idx[0, 0] == 105
+    assert scores[0, 0] > 0.999
+    assert all(100 <= i < 110 for i in idx[0])
+
+
+def test_sharded_gallery_from_gallery(rng):
+    from retrieval_based_object_detection_tpu.gallery import Filter, Payload
+    from retrieval_based_object_detection_tpu.gallery.store import Gallery
+
+    g = Gallery("t", dim=16)
+    vecs = rng.normal(size=(40, 16)).astype(np.float32)
+    g.upsert(
+        [f"p{i}" for i in range(40)], vecs,
+        [Payload(data_type="original_images",
+                 class_name="a" if i < 20 else "b") for i in range(40)],
+    )
+    mesh = gallery_mesh(8)
+    s = ShardedGallerySearcher.from_gallery(
+        g, mesh, Filter(must={"class_name": "b"}))
+    scores, idx = s.search(vecs[5], k=3)
+    assert all(i >= 20 for i in idx[0])  # class a (rows < 20) masked out
+
+
+def test_train_step_dp_tp(rng):
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    cfg = T.TrainConfig(num_classes=5, compute_dtype="float32", remat=True)
+    params, opt_state = T.init_state(TINY, cfg, seed=0)
+    params, opt_state = T.place(params, opt_state, mesh)
+    step = T.make_train_step(TINY, cfg, mesh)
+
+    images = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    labels = rng.integers(0, 5, size=(8,)).astype(np.int32)
+    p1, o1, m1 = step(params, opt_state, images, labels)
+    p2, o2, m2 = step(p1, o1, images, labels)
+    assert np.isfinite(float(m1["loss"]))
+    # Same batch twice: loss must decrease (it's actually learning).
+    assert float(m2["loss"]) < float(m1["loss"])
+    # Params follow the tp sharding (w_fc output dim split over tp=4).
+    w_fc = p1["tower"]["blocks"]["w_fc"]
+    assert w_fc.sharding.spec == jax.sharding.PartitionSpec(None, None, "tp")
+
+
+def test_train_step_dp_only(rng):
+    mesh = make_mesh({"dp": 8})
+    cfg = T.TrainConfig(num_classes=3, compute_dtype="float32", remat=False)
+    params, opt_state = T.init_state(TINY, cfg, seed=1)
+    params, opt_state = T.place(params, opt_state, mesh)
+    step = T.make_train_step(TINY, cfg, mesh)
+    images = rng.normal(size=(16, 32, 32, 3)).astype(np.float32)
+    labels = rng.integers(0, 3, size=(16,)).astype(np.int32)
+    _, _, metrics = step(params, opt_state, images, labels)
+    assert np.isfinite(float(metrics["loss"]))
