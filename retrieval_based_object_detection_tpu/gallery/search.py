@@ -32,21 +32,26 @@ def l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
     return x / jnp.maximum(norm, eps)
 
 
-@partial(jax.jit, static_argnames=("k", "exact"))
+@partial(jax.jit, static_argnames=("k", "exact", "gallery_normalized"))
 def masked_cosine_topk(
     queries: jax.Array,  # [Q, D] unnormalised
-    gallery: jax.Array,  # [N, D] unnormalised, padded
+    gallery: jax.Array,  # [N, D] padded
     mask: jax.Array,  # [N] bool — valid AND filter-matching rows
     k: int,
     exact: bool = True,
+    gallery_normalized: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (scores [Q, k], row_indices [Q, k]) of best cosine matches.
 
     Rows where ``mask`` is False score ``-inf`` and can never enter the
     top-k unless fewer than k rows match (callers check scores > NEG_INF/2).
+
+    Pass ``gallery_normalized=True`` when rows are pre-normalised (the
+    Gallery's device mirror does this once per sync) — skipping the
+    per-query normalisation halves HBM traffic on the hot path.
     """
     q = l2_normalize(queries)
-    g = l2_normalize(gallery)
+    g = gallery if gallery_normalized else l2_normalize(gallery)
     if exact:
         scores = jnp.dot(
             q, g.T, precision=jax.lax.Precision.HIGHEST,

@@ -47,7 +47,8 @@ def build_sharded(
     per = shard_rows(vectors.shape[0], n_shards)
     total = per * n_shards
     buf = np.zeros((total, vectors.shape[1]), np.float32)
-    buf[: vectors.shape[0]] = vectors
+    norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+    buf[: vectors.shape[0]] = vectors / np.maximum(norms, 1e-12)
     mbuf = np.zeros(total, bool)
     mbuf[: mask.shape[0]] = mask
     vs = jax.device_put(buf, NamedSharding(mesh, P(AXIS, None)))
@@ -70,7 +71,8 @@ def sharded_topk(
         # One shard's rows: [R, D]; local masked top-k.
         shard_id = jax.lax.axis_index(AXIS)
         rows_per = g.shape[0]
-        scores, idx = search_lib.masked_cosine_topk(q, g, m, k=k, exact=exact)
+        scores, idx = search_lib.masked_cosine_topk(
+            q, g, m, k=k, exact=exact, gallery_normalized=True)
         gidx = idx + shard_id * rows_per
         # Merge candidates across shards: all_gather is the only collective.
         all_scores = jax.lax.all_gather(scores, AXIS)  # [S, Q, k]

@@ -219,20 +219,21 @@ class Gallery:
 
     # ------------------------------------------------------------ search
     def _device_state(self) -> tuple[jax.Array, np.ndarray]:
+        """Padded, L2-pre-normalised device mirror. Rebuilt lazily after
+        writes (``_dev_vectors`` is invalidated to None); pre-normalising
+        once per sync means queries pay one matmul, not an extra
+        normalisation pass over the whole gallery in HBM."""
         n = len(self._ids)
         padded = search_lib.pad_rows(n)
         if self._dev_vectors is None or self._dev_vectors.shape[0] != padded:
             buf = np.zeros((padded, self.dim), dtype=np.float32)
-            buf[:n] = self._vectors[:n]
+            rows = self._vectors[:n]
+            norms = np.linalg.norm(rows, axis=1, keepdims=True)
+            buf[:n] = rows / np.maximum(norms, 1e-12)
             self._dev_vectors = jnp.asarray(buf)
             valid = np.zeros(padded, dtype=bool)
             valid[:n] = True
             self._dev_valid = valid
-        else:
-            # Capacity unchanged but content may have been rewritten.
-            buf = np.zeros((padded, self.dim), dtype=np.float32)
-            buf[:n] = self._vectors[:n]
-            self._dev_vectors = jnp.asarray(buf)
         return self._dev_vectors, self._dev_valid
 
     def search(
@@ -257,7 +258,7 @@ class Gallery:
         k_eff = min(k, n)
         scores, idx = search_lib.masked_cosine_topk(
             jnp.asarray(queries), dev_vectors, jnp.asarray(mask),
-            k=k_eff, exact=exact,
+            k=k_eff, exact=exact, gallery_normalized=True,
         )
         scores = np.asarray(scores)
         idx = np.asarray(idx)

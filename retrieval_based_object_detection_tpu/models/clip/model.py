@@ -151,7 +151,9 @@ def _block(x: jax.Array, block: Params, heads: int) -> jax.Array:
     x = x + _attention(h, block, heads)
     h = layer_norm(x, block["ln_2_scale"], block["ln_2_bias"])
     h = jnp.dot(h, block["w_fc"], preferred_element_type=jnp.float32)
-    h = quick_gelu((h + block["b_fc"]).astype(jnp.float32)).astype(x.dtype)
+    # Activation in f32 (the dot already accumulated in f32), cast after:
+    # XLA fuses this into the matmul epilogue, no extra HBM pass.
+    h = quick_gelu(h + block["b_fc"]).astype(x.dtype)
     h = jnp.dot(h, block["w_proj"], preferred_element_type=jnp.float32)
     return x + (h + block["b_proj"]).astype(x.dtype)
 

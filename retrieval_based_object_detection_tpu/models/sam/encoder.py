@@ -1,0 +1,209 @@
+"""SAM image encoder: ViT with windowed attention, decomposed relative
+position embeddings, and a conv neck — mirrors segment-anything's
+ImageEncoderViT so official checkpoints convert 1:1.
+
+TPU notes: the 64×64=4096-token global-attention layers are the hot spot;
+attention runs in one fused einsum chain (bf16, f32 accumulation), windows
+are static reshapes, and the whole encoder jits to a single program per
+image size.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    img_size: int = 1024
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    heads: int = 12
+    mlp_ratio: int = 4
+    out_chans: int = 256
+    window_size: int = 14
+    global_attn_indexes: tuple[int, ...] = (2, 5, 8, 11)
+
+    @property
+    def grid(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.heads
+
+
+def init_params(cfg: EncoderConfig, seed: int = 0) -> Params:
+    rng = np.random.default_rng(seed)
+    d, g = cfg.embed_dim, cfg.grid
+
+    def lin(cin, cout):
+        return {"w": rng.normal(0, cin ** -0.5, (cin, cout)).astype(np.float32),
+                "b": np.zeros(cout, np.float32)}
+
+    def block(idx: int) -> Params:
+        ws = 0 if idx in cfg.global_attn_indexes else cfg.window_size
+        size = g if ws == 0 else ws
+        return {
+            "ln1_s": np.ones(d, np.float32), "ln1_b": np.zeros(d, np.float32),
+            "qkv": lin(d, 3 * d),
+            "proj": lin(d, d),
+            "rel_h": rng.normal(0, 0.02, (2 * size - 1, cfg.head_dim)
+                                ).astype(np.float32),
+            "rel_w": rng.normal(0, 0.02, (2 * size - 1, cfg.head_dim)
+                                ).astype(np.float32),
+            "ln2_s": np.ones(d, np.float32), "ln2_b": np.zeros(d, np.float32),
+            "fc1": lin(d, cfg.mlp_ratio * d),
+            "fc2": lin(cfg.mlp_ratio * d, d),
+        }
+
+    params: Params = {
+        "patch_kernel": rng.normal(
+            0, (cfg.patch_size ** 2 * 3) ** -0.5,
+            (cfg.patch_size, cfg.patch_size, 3, d)).astype(np.float32),
+        "patch_bias": np.zeros(d, np.float32),
+        "pos_embed": rng.normal(0, 0.02, (g, g, d)).astype(np.float32),
+        "blocks": [block(i) for i in range(cfg.depth)],
+        "neck0": rng.normal(0, d ** -0.5, (1, 1, d, cfg.out_chans)
+                            ).astype(np.float32),
+        "neck_ln0_s": np.ones(cfg.out_chans, np.float32),
+        "neck_ln0_b": np.zeros(cfg.out_chans, np.float32),
+        "neck1": rng.normal(0, (9 * cfg.out_chans) ** -0.5,
+                            (3, 3, cfg.out_chans, cfg.out_chans)
+                            ).astype(np.float32),
+        "neck_ln1_s": np.ones(cfg.out_chans, np.float32),
+        "neck_ln1_b": np.zeros(cfg.out_chans, np.float32),
+    }
+    return jax.tree.map(jnp.asarray, params)
+
+
+def _ln(x, s, b, eps=1e-6):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return (((x32 - mu) * jax.lax.rsqrt(var + eps)) * s + b).astype(x.dtype)
+
+
+def _rel_pos_bias(q_size: int, rel: jax.Array) -> jax.Array:
+    """Decomposed relative position table lookup → [q, k, head_dim].
+
+    Matches segment-anything's get_rel_pos for equal q/k sizes: index
+    (q - k + size - 1) into a (2*size-1) table.
+    """
+    idx = (jnp.arange(q_size)[:, None] - jnp.arange(q_size)[None, :]
+           + q_size - 1)
+    return rel[idx]
+
+
+def _attention(x: jax.Array, blk: Params, heads: int) -> jax.Array:
+    """[B, H, W, C] windowed/global attention with decomposed rel pos."""
+    B, H, W, C = x.shape
+    hd = C // heads
+    qkv = (jnp.dot(x.reshape(B, H * W, C), blk["qkv"]["w"],
+                   preferred_element_type=jnp.float32)
+           + blk["qkv"]["b"]).astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads_first(t):
+        return t.reshape(B, H * W, heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = heads_first(q), heads_first(k), heads_first(v)
+    attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                      preferred_element_type=jnp.float32) * hd ** -0.5
+
+    # Decomposed relative position (Rh over rows, Rw over cols).
+    rh = _rel_pos_bias(H, blk["rel_h"]).astype(jnp.float32)  # [H, H, hd]
+    rw = _rel_pos_bias(W, blk["rel_w"]).astype(jnp.float32)  # [W, W, hd]
+    qg = q.reshape(B, heads, H, W, hd).astype(jnp.float32)
+    bias_h = jnp.einsum("bnhwd,hkd->bnhwk", qg, rh)  # [B,nh,H,W,Hk]
+    bias_w = jnp.einsum("bnhwd,wkd->bnhwk", qg, rw)  # [B,nh,H,W,Wk]
+    attn = attn.reshape(B, heads, H, W, H, W)
+    attn = attn + bias_h[..., :, None] + bias_w[..., None, :]
+    attn = attn.reshape(B, heads, H * W, H * W)
+
+    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(B, H * W, C)
+    out = (jnp.dot(out, blk["proj"]["w"],
+                   preferred_element_type=jnp.float32)
+           + blk["proj"]["b"]).astype(x.dtype)
+    return out.reshape(B, H, W, C)
+
+
+def _window_partition(x: jax.Array, ws: int):
+    B, H, W, C = x.shape
+    pad_h = (ws - H % ws) % ws
+    pad_w = (ws - W % ws) % ws
+    x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    x = x.reshape(B, Hp // ws, ws, Wp // ws, ws, C)
+    wins = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, C)
+    return wins, (Hp, Wp)
+
+
+def _window_unpartition(wins: jax.Array, ws: int, hw_pad, hw):
+    Hp, Wp = hw_pad
+    H, W = hw
+    B = wins.shape[0] // ((Hp // ws) * (Wp // ws))
+    x = wins.reshape(B, Hp // ws, Wp // ws, ws, ws, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, -1)
+    return x[:, :H, :W]
+
+
+def _block_forward(x, blk, heads: int, window: int):
+    h = _ln(x, blk["ln1_s"], blk["ln1_b"])
+    if window > 0:
+        wins, hw_pad = _window_partition(h, window)
+        wins = _attention(wins, blk, heads)
+        h = _window_unpartition(wins, window, hw_pad, x.shape[1:3])
+    else:
+        h = _attention(h, blk, heads)
+    x = x + h
+    h = _ln(x, blk["ln2_s"], blk["ln2_b"])
+    h = (jnp.dot(h, blk["fc1"]["w"], preferred_element_type=jnp.float32)
+         + blk["fc1"]["b"])
+    h = jax.nn.gelu(h).astype(x.dtype)
+    h = (jnp.dot(h, blk["fc2"]["w"], preferred_element_type=jnp.float32)
+         + blk["fc2"]["b"]).astype(x.dtype)
+    return x + h
+
+
+def forward(params: Params, images: jax.Array, cfg: EncoderConfig,
+            compute_dtype=jnp.float32) -> jax.Array:
+    """[B, S, S, 3] (already normalised) → [B, grid, grid, out_chans]."""
+    x = images.astype(compute_dtype)
+    x = jax.lax.conv_general_dilated(
+        x, params["patch_kernel"].astype(compute_dtype),
+        (cfg.patch_size, cfg.patch_size), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(compute_dtype) + params["patch_bias"].astype(compute_dtype)
+    x = x + params["pos_embed"].astype(compute_dtype)[None]
+
+    for i, blk in enumerate(params["blocks"]):
+        window = 0 if i in cfg.global_attn_indexes else cfg.window_size
+        blk = jax.tree.map(lambda a: a.astype(compute_dtype)
+                           if a.dtype == jnp.float32 else a, blk)
+        x = _block_forward(x, blk, cfg.heads, window)
+
+    # Neck: 1x1 conv + LN + 3x3 conv + LN (channels-last layer norm over C).
+    x = jax.lax.conv_general_dilated(
+        x, params["neck0"].astype(compute_dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(compute_dtype)
+    x = _ln(x, params["neck_ln0_s"], params["neck_ln0_b"])
+    x = jax.lax.conv_general_dilated(
+        x, params["neck1"].astype(compute_dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(compute_dtype)
+    x = _ln(x, params["neck_ln1_s"], params["neck_ln1_b"])
+    return x

@@ -1,0 +1,155 @@
+"""Detector family + auto-labeling pipeline."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from retrieval_based_object_detection_tpu.models.detector import (
+    SaliencyProposer,
+    tinydet,
+)
+from retrieval_based_object_detection_tpu.pipelines import labeling as L
+
+
+def make_product_photo(size=(240, 320), obj=(60, 80, 150, 220),
+                       bg=235, color=(180, 30, 40), noise=5, seed=0):
+    """Studio-style photo: bright uniform background, coloured product."""
+    rng = np.random.default_rng(seed)
+    img = np.full(size + (3,), bg, np.uint8)
+    y1, x1, y2, x2 = obj
+    img[y1:y2, x1:x2] = color
+    img = np.clip(
+        img.astype(np.int16) + rng.integers(-noise, noise, img.shape), 0, 255
+    ).astype(np.uint8)
+    return img
+
+
+# ------------------------------------------------------------ saliency
+def test_saliency_finds_product_box():
+    img = make_product_photo()
+    boxes, conf = SaliencyProposer()(img[None])
+    assert boxes.shape == (1, 1, 4) and conf.shape == (1, 1)
+    x1, y1, x2, y2 = boxes[0, 0]
+    # Box within ~12px of the true object (robust quantile shrink allowed).
+    assert abs(x1 - 80) < 12 and abs(y1 - 60) < 12
+    assert abs(x2 - 220) < 12 and abs(y2 - 150) < 12
+    assert conf[0, 0] > 0.5
+
+
+def test_saliency_blank_image_no_detection():
+    img = np.full((128, 128, 3), 240, np.uint8)
+    boxes, conf = SaliencyProposer()(img[None])
+    assert conf[0, 0] < 0.25  # below the labeling threshold
+
+
+def test_saliency_batched_independent():
+    a = make_product_photo(seed=1)
+    b = make_product_photo(obj=(20, 30, 90, 120), color=(20, 90, 200), seed=2)
+    boxes2, conf2 = SaliencyProposer()(np.stack([a, b]))
+    boxes_a, _ = SaliencyProposer()(a[None])
+    np.testing.assert_allclose(boxes2[0], boxes_a[0], atol=1e-5)
+
+
+# ------------------------------------------------------------ tinydet
+@pytest.fixture(scope="module")
+def det_cfg():
+    return tinydet.TinyDetConfig(image_size=64, channels=(16, 32),
+                                 head_dim=32, max_det=8)
+
+
+def test_tinydet_shapes(det_cfg, rng):
+    params = tinydet.init_params(det_cfg, seed=0)
+    imgs = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    obj, ltrb = tinydet.forward(params, imgs, det_cfg)
+    g = det_cfg.grid
+    assert obj.shape == (2, g, g)
+    assert ltrb.shape == (2, g, g, 4)
+    assert float(np.asarray(ltrb).min()) >= 0.0
+    boxes, scores = tinydet.decode(params, imgs, det_cfg)
+    assert boxes.shape == (2, 8, 4) and scores.shape == (2, 8)
+
+
+def test_tinydet_overfits_single_box(det_cfg, rng):
+    """Train on one synthetic example; detector must learn to localise."""
+    params = tinydet.init_params(det_cfg, seed=0)
+    step, opt_init = tinydet.make_train_step(det_cfg, learning_rate=2e-3)
+    opt_state = opt_init(params)
+
+    img = make_product_photo(size=(64, 64), obj=(16, 20, 48, 56),
+                             color=(200, 40, 40))[None].astype(np.float32)
+    gt = np.array([[[20.0, 16.0, 56.0, 48.0]]], np.float32)  # xyxy
+    valid = np.ones((1, 1), bool)
+
+    first_loss = None
+    for i in range(150):
+        params, opt_state, m = step(params, opt_state, img, gt, valid)
+        if first_loss is None:
+            first_loss = float(m["loss"])
+    assert float(m["loss"]) < first_loss * 0.2
+
+    boxes, scores = tinydet.decode(params, img, det_cfg,
+                                   conf_threshold=0.25)
+    assert scores[0, 0] > 0.25
+    x1, y1, x2, y2 = np.asarray(boxes[0, 0])
+    iou_x = max(0, min(x2, 56) - max(x1, 20)) / max(56 - 20, x2 - x1)
+    iou_y = max(0, min(y2, 48) - max(y1, 16)) / max(48 - 16, y2 - y1)
+    assert iou_x > 0.5 and iou_y > 0.5, (boxes[0, 0], scores[0, 0])
+
+
+def test_nms_suppresses_duplicates():
+    boxes = np.array([[[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]]],
+                     np.float32)
+    iou = tinydet._pairwise_iou(boxes, boxes)
+    assert iou[0, 0, 1] > 0.5
+    assert iou[0, 0, 2] == 0.0
+
+
+# ------------------------------------------------------------ labeling
+@pytest.fixture
+def labeled_tree(tmp_path):
+    for cls, color in (("alpha", (200, 30, 30)), ("beta", (30, 30, 200))):
+        d = tmp_path / "original_images" / cls
+        d.mkdir(parents=True)
+        for i in range(3):
+            img = make_product_photo(color=color, seed=i)
+            Image.fromarray(img).save(d / f"img{i}.jpg")
+    # One blank image that must yield "no object".
+    blank = np.full((240, 320, 3), 240, np.uint8)
+    Image.fromarray(blank).save(
+        tmp_path / "original_images" / "alpha" / "blank.jpg")
+    return tmp_path
+
+
+def test_run_labeling(labeled_tree):
+    cfg = L.LabelConfig(root_dir=str(labeled_tree), img_type="original",
+                        batch_size=4)
+    res = L.run_labeling(cfg)
+    assert res.total_images == 7
+    assert res.labeled == 6
+    assert res.skipped_no_object == 1
+    assert len(res.not_detected) == 1 and "blank" in res.not_detected[0]
+
+    # classes.txt at root + per-dir copies, sorted order.
+    base = labeled_tree / "original_images"
+    assert (base / "classes.txt").read_text() == "alpha\nbeta\n"
+    assert (base / "beta" / "classes.txt").exists()
+
+    # Label format: "<cls> <xc> <yc> <w> <h>" with 6 decimals; class ids
+    # from the sorted global map.
+    lbl = (base / "beta" / "img0.txt").read_text().strip().split()
+    assert lbl[0] == "1"
+    vals = [float(v) for v in lbl[1:]]
+    assert all(0 <= v <= 1 for v in vals)
+    # Object at x1=80..220 of 320 -> xc ~ 0.47; y1=60..150 of 240 -> yc ~ 0.44
+    assert abs(vals[0] - 0.47) < 0.08
+    assert abs(vals[1] - 0.44) < 0.08
+
+    # Idempotent second run: all skipped.
+    res2 = L.run_labeling(cfg)
+    assert res2.skipped_existing == 6
+    assert res2.labeled == 0
+    # Overwrite flag forces re-labeling.
+    res3 = L.run_labeling(
+        L.LabelConfig(root_dir=str(labeled_tree), img_type="original",
+                      overwrite=True, batch_size=4))
+    assert res3.labeled == 6
