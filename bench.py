@@ -75,27 +75,34 @@ def bench_gallery_query(n_vectors: int = 1_000_000, dim: int = 512,
 
     from retrieval_based_object_detection_tpu.gallery import search as S
 
-    rng = np.random.default_rng(1)
-    rows = rng.normal(size=(n_vectors, dim)).astype(np.float32)
-    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
-    gallery = jax.device_put(rows).astype(jnp.bfloat16)
-    mask = jax.device_put(np.ones(n_vectors, bool))
-    queries = jax.device_put(
-        rng.normal(size=(q_batch, dim)).astype(np.float32))
+    # Generate the gallery ON device — a 2GB host->device transfer through
+    # the remote tunnel would dominate setup time. Serving layout: int8
+    # quantised scan copy + normalised f32 rescore copy (the store's
+    # method="int8" path — exact top-k after rescoring).
+    @jax.jit
+    def make_gallery(key):
+        g = jax.random.normal(key, (n_vectors, dim), jnp.float32)
+        g = g / jnp.linalg.norm(g, axis=1, keepdims=True)
+        return g, S.quantize_rows_int8(g)
+
+    gallery_f32, gallery_i8 = make_gallery(jax.random.key(1))
+    mask = jnp.ones(n_vectors, bool)
+    queries = jax.random.normal(jax.random.key(2), (q_batch, dim),
+                                jnp.float32)
 
     @partial(jax.jit, static_argnames=("n",))
-    def query_many(q, g, m, n):
+    def query_many(q, gi8, gf32, m, n):
         def body(i, acc):
-            s, _ = S.masked_cosine_topk(q + i * 1e-6, g, m, k=k,
-                                        exact=False, gallery_normalized=True)
+            s, _ = S.int8_cosine_topk(q + i * 1e-6, gi8, gf32, m, k=k,
+                                      rescore=64)
             return acc + jnp.sum(s)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    float(query_many(queries, gallery, mask, inner))  # compile
+    float(query_many(queries, gallery_i8, gallery_f32, mask, inner))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        float(query_many(queries, gallery, mask, inner))
+        float(query_many(queries, gallery_i8, gallery_f32, mask, inner))
         times.append((time.perf_counter() - t0) * 1000.0 / inner)
     return float(np.percentile(times, 50))
 

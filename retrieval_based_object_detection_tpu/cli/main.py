@@ -1,0 +1,466 @@
+"""``rbod`` CLI — the reference's 15 numbered scripts as subcommands.
+
+Mapping (reference script → subcommand):
+  01_heic_to_jpeg             → ingest
+  02/util/qdrant_manager      → store (list/create/rename/delete/count)
+  11_dataset_labeling         → label
+  12_labeling_check           → review (headless session commands)
+  13_restore_manual_labeled   → restore
+  21_crop_image               → crop
+  22_segment_image_auto       → segment
+  22_segment_image_manual     → segment-manual
+  23_augmentation             → augment
+  31_clip_embedding…          → embed
+  32_create_delegate_vector   → delegates
+  33_run_all_experiments      → experiments
+  41_results_analysis…        → analyze
+
+Unlike the reference's blocking ``input()`` loops, every command is fully
+driveable by flags (scriptable/CI-safe); the same decision points exist as
+options with the reference's defaults. State that Qdrant held lives in a
+snapshot directory (``--store``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+
+def _store_load(path: str):
+    from retrieval_based_object_detection_tpu.gallery.persist import load_store
+
+    return load_store(path)
+
+
+def _store_save(store, path: str) -> None:
+    from retrieval_based_object_detection_tpu.gallery.persist import save_store
+
+    save_store(store, path)
+
+
+def _load_clip(checkpoint: str | None, image_size: int | None = None):
+    """CLIP params + config: converted checkpoint if given, else random
+    init (clearly warned — useful for pipeline testing without weights)."""
+    from retrieval_based_object_detection_tpu.models.clip import model as M
+
+    if checkpoint:
+        from retrieval_based_object_detection_tpu.models.clip.convert import (
+            load_torch_checkpoint,
+        )
+
+        params = load_torch_checkpoint(checkpoint)
+        config = M.VIT_B_32
+    else:
+        print("[rbod] WARNING: no --clip-checkpoint given; using randomly "
+              "initialised ViT-B/32 weights (embeddings are NOT meaningful "
+              "CLIP embeddings)", file=sys.stderr)
+        config = M.VIT_B_32
+        params = M.init_params(config, seed=0)
+    return params, config
+
+
+def cmd_ingest(args) -> int:
+    from retrieval_based_object_detection_tpu.pipelines.ingest import (
+        IngestConfig,
+        run_ingest,
+    )
+
+    res = run_ingest(IngestConfig(
+        src_root=args.src, dst_root=args.dst, img_type=args.type,
+        classes=args.classes))
+    print(f"converted={res.n_converted} existing={res.n_skipped_existing} "
+          f"duplicates={res.n_skipped_duplicate} failed={res.n_failed}")
+    return 0
+
+
+def cmd_store(args) -> int:
+    store = _store_load(args.store)
+    needs_name = args.action in ("create", "rename", "delete", "count")
+    if needs_name and not args.name:
+        print(f"error: 'store {args.action}' requires --name",
+              file=sys.stderr)
+        return 2
+    if args.action == "rename" and not args.new_name:
+        print("error: 'store rename' requires --new-name", file=sys.stderr)
+        return 2
+    if args.action in ("rename", "delete", "count") and args.name not in store:
+        print(f"error: no such collection: {args.name!r}", file=sys.stderr)
+        return 1
+    if args.action == "list":
+        for name, count in store.list_collections():
+            print(f"{name}\t{count}")
+    elif args.action == "create":
+        store.create_collection(args.name, dim=args.dim,
+                                distance=args.distance)
+        _store_save(store, args.store)
+        print(f"created {args.name} (dim={args.dim}, {args.distance})")
+    elif args.action == "rename":
+        store.rename_collection(args.name, args.new_name)
+        _store_save(store, args.store)
+        print(f"renamed {args.name} -> {args.new_name}")
+    elif args.action == "delete":
+        store.delete_collection(args.name)
+        _store_save(store, args.store)
+        print(f"deleted {args.name}")
+    elif args.action == "delete-all":
+        n = store.delete_all_collections()
+        _store_save(store, args.store)
+        print(f"deleted {n} collections")
+    elif args.action == "count":
+        print(len(store.get(args.name)))
+    return 0
+
+
+def cmd_label(args) -> int:
+    from retrieval_based_object_detection_tpu.pipelines.labeling import (
+        LabelConfig,
+        run_labeling,
+    )
+
+    res = run_labeling(LabelConfig(
+        root_dir=args.root, img_type=args.type, classes=args.classes,
+        conf_threshold=args.conf, max_object_count=args.max_objects,
+        overwrite=args.overwrite))
+    print(f"total={res.total_images} labeled={res.labeled} "
+          f"existing={res.skipped_existing} no_object={res.skipped_no_object} "
+          f"failed={res.failed}")
+    if res.not_detected and args.show_missing:
+        for p in res.not_detected:
+            print(f"  - {p}")
+    return 0
+
+
+def cmd_review(args) -> int:
+    from retrieval_based_object_detection_tpu.models.detector import (
+        SaliencyProposer,
+    )
+    from retrieval_based_object_detection_tpu.pipelines.review import (
+        ReviewConfig,
+        ReviewSession,
+    )
+
+    session = ReviewSession(
+        ReviewConfig(root_dir=args.root, img_type=args.type,
+                     classes=args.classes, manual_dir=args.manual_dir),
+        detector=SaliencyProposer())
+    if args.command == "status":
+        print(f"items={len(session.items)} pos={session.pos} "
+              f"current={session.current}")
+    elif args.command == "render":
+        from PIL import Image
+
+        out = Path(args.out or "review_preview.png")
+        Image.fromarray(session.render()).save(out)
+        print(f"current={session.current} boxes={len(session.boxes())} "
+              f"preview={out}")
+    elif args.command == "select":
+        ok = session.select_box(args.box)
+        print("ok" if ok else "invalid box index")
+    elif args.command == "redetect":
+        for i, box in enumerate(session.redetect()):
+            print(f"{i}: {box}")
+    elif args.command == "manual":
+        dst = session.move_to_manual()
+        print(f"moved to {dst}")
+    elif args.command in ("next", "prev"):
+        getattr(session, args.command)()
+        print(f"pos={session.pos} current={session.current}")
+    return 0
+
+
+def cmd_restore(args) -> int:
+    from retrieval_based_object_detection_tpu.pipelines.review import (
+        restore_manual_labeled,
+    )
+
+    res = restore_manual_labeled(args.manual_dir, args.dst, args.type)
+    print(f"restored={res.n_restored} skipped={res.n_skipped_no_label}")
+    return 0
+
+
+def cmd_crop(args) -> int:
+    from retrieval_based_object_detection_tpu.pipelines.crop import (
+        CropConfig,
+        run_crop,
+    )
+
+    res = run_crop(CropConfig(
+        src_root=args.src, dst_root=args.dst, img_type=args.type,
+        classes=args.classes, margin_ratio=args.margin))
+    print(f"objects={res.n_objects} no_label={res.n_no_label} "
+          f"empty={res.n_empty_label}")
+    return 0
+
+
+def _make_sam(args):
+    from retrieval_based_object_detection_tpu.models.sam import model as SM
+
+    if args.sam_checkpoint:
+        from retrieval_based_object_detection_tpu.models.sam.convert import (
+            load_torch_checkpoint,
+        )
+
+        params, config = load_torch_checkpoint(args.sam_checkpoint)
+    else:
+        print("[rbod] WARNING: no --sam-checkpoint; using the random-init "
+              "tiny SAM (masks are NOT meaningful)", file=sys.stderr)
+        config = SM.SAM_TINY
+        params = SM.init_params(config, seed=0)
+    return SM.SamPredictor(params, config)
+
+
+def cmd_segment(args) -> int:
+    from retrieval_based_object_detection_tpu.pipelines.segment import (
+        SegmentConfig,
+        run_auto_segment,
+    )
+
+    res = run_auto_segment(SegmentConfig(
+        src_root=args.src, dst_root=args.dst, img_type=args.type,
+        classes=args.classes), _make_sam(args))
+    print(f"segmented={res.n_segmented} failed={res.n_failed}")
+    return 0
+
+
+def cmd_segment_manual(args) -> int:
+    from retrieval_based_object_detection_tpu.pipelines.segment import (
+        ManualSegmentSession,
+    )
+    import numpy as np
+
+    session = ManualSegmentSession(_make_sam(args), args.dir,
+                                   only_unprocessed=not args.all)
+    if args.command == "list":
+        for p in session.items:
+            print(p)
+    elif args.command == "click":
+        session.load()
+        masks, scores = session.click(args.x, args.y)
+        best = int(np.argmax(scores))
+        print(f"scores={[round(float(s), 4) for s in scores]} best={best}")
+        out = session.save(best if args.mask is None else args.mask)
+        print(f"saved {out}")
+    return 0
+
+
+def cmd_augment(args) -> int:
+    from retrieval_based_object_detection_tpu.pipelines.augment import (
+        AugmentConfig,
+        run_augment,
+    )
+
+    res = run_augment(AugmentConfig(
+        src_root=args.src, dst_root=args.dst, img_type=args.type,
+        classes=args.classes, seed=args.seed))
+    print(f"inputs={res.n_inputs} written={res.n_written} "
+          f"failed={res.n_failed}")
+    return 0
+
+
+def cmd_embed(args) -> int:
+    from retrieval_based_object_detection_tpu.pipelines import embed as ep
+
+    store = _store_load(args.store)
+    if args.collection not in store:
+        store.create_collection(args.collection, dim=512)
+    gallery = store.get(args.collection)
+    params, config = _load_clip(args.clip_checkpoint)
+    encoder = ep.make_encoder(params, config,
+                              compute_dtype=args.compute_dtype,
+                              exact=not args.fast)
+    res = ep.embed_tree(gallery, encoder, ep.EmbedConfig(
+        root_dir=args.root, img_type=args.type, classes=args.classes,
+        batch_size=args.batch_size))
+    _store_save(store, args.store)
+    print(f"embedded={res.total} failed={res.n_failed}")
+    for cls, n in sorted(res.per_class_counts.items()):
+        print(f"  - {cls}: {n}")
+    return 0
+
+
+def cmd_delegates(args) -> int:
+    from retrieval_based_object_detection_tpu.pipelines import delegates as dp
+
+    store = _store_load(args.store)
+    gallery = store.get(args.collection)
+    res = dp.build_delegates(gallery, classes=args.classes, alpha=args.alpha)
+    _store_save(store, args.store)
+    print(f"delegates_written={res.n_delegates_written}")
+    for (cls, case, dtype), n in sorted(res.member_counts.items()):
+        if n:
+            print(f"  - {cls}/{case}/{dtype}: {n} members")
+    return 0
+
+
+def cmd_experiments(args) -> int:
+    from retrieval_based_object_detection_tpu.pipelines import experiments as xp
+
+    store = _store_load(args.store)
+    gallery = store.get(args.collection)
+    root = xp.TEST_GROUPS.get(args.test_group, args.test_group)
+    out = xp.run_experiments(gallery, xp.ExperimentConfig(
+        root_dir=root, results_dir=args.results_dir,
+        match_mode=args.match_mode))
+    print(f"rows={len(out.rows)} csv={out.csv_path}")
+    print("class usage:")
+    for cls, n in sorted(out.class_image_count.items()):
+        print(f"  - {cls}: {n}")
+    return 0
+
+
+def cmd_analyze(args) -> int:
+    from retrieval_based_object_detection_tpu.pipelines import analysis
+
+    csv = args.csv
+    if csv is None:
+        found = analysis.find_result_csvs(args.results_dir)
+        if not found:
+            print("no result CSVs found", file=sys.stderr)
+            return 1
+        csv = found[-1]
+    res = analysis.analyze(csv, make_plots=not args.no_plots)
+    print(f"summary: {res['summary_path']}")
+    print(res["summary"].round(4).to_string(index=False))
+    print(f"metrics: {len(res['metrics'])} groups; plots: {len(res['plots'])}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rbod",
+        description="TPU-native retrieval-based object detection pipeline")
+    p.add_argument("--platform", default=None,
+                   choices=("default", "cpu", "tpu", "axon"),
+                   help="force a JAX backend (also via RBOD_PLATFORM env); "
+                        "'cpu' is handy for small-model host runs")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, fn, **kw):
+        sp = sub.add_parser(name, **kw)
+        sp.set_defaults(fn=fn)
+        return sp
+
+    sp = add("ingest", cmd_ingest, help="HEIC/any -> JPEG tree (01)")
+    sp.add_argument("--src", default="dataset_heic")
+    sp.add_argument("--dst", default="dataset_jpeg")
+    sp.add_argument("--type", default="original",
+                    choices=("original", "natural"))
+    sp.add_argument("--classes", nargs="*", default=None)
+
+    sp = add("store", cmd_store, help="collection admin (02/util)")
+    sp.add_argument("action", choices=("list", "create", "rename", "delete",
+                                       "delete-all", "count"))
+    sp.add_argument("--store", default="gallery_store")
+    sp.add_argument("--name")
+    sp.add_argument("--new-name")
+    sp.add_argument("--dim", type=int, default=512)
+    sp.add_argument("--distance", default="cosine")
+
+    sp = add("label", cmd_label, help="auto-label with detector (11)")
+    sp.add_argument("--root", default="dataset_jpeg")
+    sp.add_argument("--type", default="original",
+                    choices=("original", "natural"))
+    sp.add_argument("--classes", nargs="*", default=None)
+    sp.add_argument("--conf", type=float, default=0.25)
+    sp.add_argument("--max-objects", type=int, default=1)
+    sp.add_argument("--overwrite", action="store_true")
+    sp.add_argument("--show-missing", action="store_true")
+
+    sp = add("review", cmd_review, help="label review session (12)")
+    sp.add_argument("command", choices=("status", "render", "select",
+                                        "redetect", "manual", "next", "prev"))
+    sp.add_argument("--root", default="dataset_jpeg")
+    sp.add_argument("--type", default="original")
+    sp.add_argument("--classes", nargs="*", default=None)
+    sp.add_argument("--manual-dir", default="dataset_manual")
+    sp.add_argument("--box", type=int, default=0)
+    sp.add_argument("--out")
+
+    sp = add("restore", cmd_restore, help="restore quarantined images (13)")
+    sp.add_argument("--manual-dir", default="dataset_manual")
+    sp.add_argument("--dst", default="dataset_jpeg")
+    sp.add_argument("--type", default="original")
+
+    sp = add("crop", cmd_crop, help="crop labeled boxes with margin (21)")
+    sp.add_argument("--src", default="dataset_jpeg")
+    sp.add_argument("--dst", default="dataset_cropped")
+    sp.add_argument("--type", default="original")
+    sp.add_argument("--classes", nargs="*", default=None)
+    sp.add_argument("--margin", type=float, default=0.2)
+
+    sp = add("segment", cmd_segment, help="auto center-point SAM (22a)")
+    sp.add_argument("--src", default="dataset_cropped")
+    sp.add_argument("--dst", default="dataset_segmented")
+    sp.add_argument("--type", default="original")
+    sp.add_argument("--classes", nargs="*", default=None)
+    sp.add_argument("--sam-checkpoint")
+
+    sp = add("segment-manual", cmd_segment_manual,
+             help="click-to-segment session (22m)")
+    sp.add_argument("command", choices=("list", "click"))
+    sp.add_argument("--dir", required=True)
+    sp.add_argument("--x", type=float, default=0)
+    sp.add_argument("--y", type=float, default=0)
+    sp.add_argument("--mask", type=int, default=None)
+    sp.add_argument("--all", action="store_true")
+    sp.add_argument("--sam-checkpoint")
+
+    sp = add("augment", cmd_augment, help="augmentation grid (23)")
+    sp.add_argument("--src", default="dataset_segmented")
+    sp.add_argument("--dst", default="dataset_augmented")
+    sp.add_argument("--type", default="original")
+    sp.add_argument("--classes", nargs="*", default=None)
+    sp.add_argument("--seed", type=int, default=0)
+
+    sp = add("embed", cmd_embed, help="batched CLIP embed + upsert (31)")
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--type", default="original")
+    sp.add_argument("--classes", nargs="*", default=None)
+    sp.add_argument("--store", default="gallery_store")
+    sp.add_argument("--collection", default="default")
+    sp.add_argument("--clip-checkpoint")
+    sp.add_argument("--batch-size", type=int, default=64)
+    sp.add_argument("--compute-dtype", default="float32",
+                    choices=("float32", "bfloat16"))
+    sp.add_argument("--fast", action="store_true",
+                    help="skip HIGHEST matmul precision")
+
+    sp = add("delegates", cmd_delegates, help="build delegate vectors (32)")
+    sp.add_argument("--store", default="gallery_store")
+    sp.add_argument("--collection", default="default")
+    sp.add_argument("--classes", nargs="*", default=None)
+    sp.add_argument("--alpha", type=float, default=2.0)
+
+    sp = add("experiments", cmd_experiments, help="experiment grid (33)")
+    sp.add_argument("--store", default="gallery_store")
+    sp.add_argument("--collection", default="default")
+    sp.add_argument("--test-group", default="TestGroup1",
+                    help="TestGroup1|TestGroup2 or an explicit root dir")
+    sp.add_argument("--results-dir", default="results")
+    sp.add_argument("--match-mode", default="same_class",
+                    choices=("same_class", "nearest"))
+
+    sp = add("analyze", cmd_analyze, help="analysis + plots (41)")
+    sp.add_argument("--csv", default=None)
+    sp.add_argument("--results-dir", default="results")
+    sp.add_argument("--no-plots", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    platform = args.platform or os.environ.get("RBOD_PLATFORM")
+    if platform and platform != "default":
+        # Must happen before the first jax operation. Plain env vars are
+        # not enough in images whose sitecustomize pins a platform.
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

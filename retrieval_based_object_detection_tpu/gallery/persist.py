@@ -1,10 +1,13 @@
 """Snapshot persistence for the vector store.
 
 Replaces the durability Qdrant got from its Docker volume
-(02_qdrant_environment_setting.txt:2-7): each collection snapshots to
-``<root>/<name>.npz`` (vectors, float32) plus ``<root>/<name>.json``
-(ids, payloads, meta). Snapshots are atomic (write-temp-then-rename) so a
-crash mid-save never corrupts the previous snapshot.
+(02_qdrant_environment_setting.txt:2-7). Each collection snapshots to a
+single ``<root>/<name>.rbod`` file — a flat binary format (header + JSON
+metadata blob + raw float32 vectors) written/read by the C++ runtime
+(``native.snapshot_write``/``snapshot_read``; NumPy fallback uses the
+identical byte layout). Flat beats zlib-npz by an order of magnitude on
+multi-GB galleries. Writes are atomic (temp-then-rename); legacy
+``.npz``+``.json`` snapshots still load.
 """
 
 from __future__ import annotations
@@ -15,6 +18,7 @@ from pathlib import Path
 
 import numpy as np
 
+from retrieval_based_object_detection_tpu import native
 from retrieval_based_object_detection_tpu.gallery.store import Gallery, VectorStore
 
 
@@ -22,31 +26,30 @@ def save_gallery(gallery: Gallery, root: str | Path) -> None:
     root = Path(root)
     root.mkdir(parents=True, exist_ok=True)
     data = gallery.to_arrays()
-    npz_tmp = root / f".{gallery.name}.npz.tmp"
-    json_tmp = root / f".{gallery.name}.json.tmp"
-    with open(npz_tmp, "wb") as f:  # file object: savez won't append ".npz"
-        np.savez_compressed(f, vectors=data["vectors"])
-    with open(json_tmp, "w") as f:
-        json.dump(
-            {
-                "name": gallery.name,
-                "dim": data["dim"],
-                "distance": data["distance"],
-                "ids": data["ids"],
-                "payloads": data["payloads"],
-            },
-            f,
-        )
-    os.replace(npz_tmp, root / f"{gallery.name}.npz")
-    os.replace(json_tmp, root / f"{gallery.name}.json")
+    meta = {
+        "name": gallery.name,
+        "dim": data["dim"],
+        "distance": data["distance"],
+        "ids": data["ids"],
+        "payloads": data["payloads"],
+    }
+    blob = json.dumps(meta).encode()
+    tmp = root / f".{gallery.name}.rbod.tmp"
+    native.snapshot_write(tmp, data["vectors"], blob)
+    os.replace(tmp, root / f"{gallery.name}.rbod")
 
 
 def load_gallery(name: str, root: str | Path) -> Gallery:
     root = Path(root)
-    with open(root / f"{name}.json") as f:
-        meta = json.load(f)
-    with np.load(root / f"{name}.npz") as z:
-        vectors = z["vectors"]
+    rbod = root / f"{name}.rbod"
+    if rbod.exists():
+        vectors, blob = native.snapshot_read(rbod)
+        meta = json.loads(blob.decode())
+    else:  # legacy npz+json layout
+        with open(root / f"{name}.json") as f:
+            meta = json.load(f)
+        with np.load(root / f"{name}.npz") as z:
+            vectors = z["vectors"]
     return Gallery.from_arrays(
         name,
         {
@@ -65,6 +68,10 @@ def save_store(store: VectorStore, root: str | Path) -> None:
     names = [n for n, _ in store.list_collections()]
     for name in names:
         save_gallery(store.get(name), root)
+    # Drop snapshots of collections that no longer exist (rename/delete).
+    for stale in root.glob("*.rbod"):
+        if stale.stem not in names:
+            stale.unlink()
     tmp = root / ".manifest.json.tmp"
     with open(tmp, "w") as f:
         json.dump({"collections": names}, f)
@@ -80,5 +87,13 @@ def load_store(root: str | Path) -> VectorStore:
     with open(manifest) as f:
         names = json.load(f)["collections"]
     for name in names:
-        store._collections[name] = load_gallery(name, root)
+        try:
+            store._collections[name] = load_gallery(name, root)
+        except (FileNotFoundError, OSError) as e:
+            # A manifest entry without its snapshot (crash between writes,
+            # manual deletion): skip it rather than refuse the whole store.
+            import sys
+
+            print(f"[gallery] WARNING: skipping collection {name!r}: {e}",
+                  file=sys.stderr)
     return store

@@ -203,22 +203,39 @@ class PayloadColumns:
         return self._path_index.get(img_path)
 
     def mask(self, flt: Filter | None) -> np.ndarray:
-        """Boolean mask over rows [0, size) matching the filter."""
-        m = np.ones(self.size, dtype=bool)
+        """Boolean mask over rows [0, size) matching the filter.
+
+        Coded/bool equality conjunctions are evaluated by the C++ one-pass
+        kernel (native.filter_mask) when available; img_path predicates
+        resolve through the O(1) hash index either way.
+        """
         if flt is None:
-            return m
+            return np.ones(self.size, dtype=bool)
+        int_cols, int_vals, bool_cols, bool_vals = [], [], [], []
+        path_value = None
         for fieldname, value in flt.items():
             if fieldname in BOOL_FIELDS:
-                m &= self._cols[fieldname][: self.size] == bool(value)
+                bool_cols.append(self._cols[fieldname])
+                bool_vals.append(bool(value))
             elif fieldname == "img_path":
-                pm = np.zeros(self.size, dtype=bool)
-                row = self._path_index.get(value)
-                if row is not None:
-                    pm[row] = True
-                m &= pm
+                path_value = value
             else:
-                code = self._lookup_code(fieldname, value)
-                m &= self._cols[fieldname][: self.size] == code
+                int_cols.append(self._cols[fieldname])
+                int_vals.append(self._lookup_code(fieldname, value))
+
+        if int_cols or bool_cols:
+            from retrieval_based_object_detection_tpu import native
+
+            m = native.filter_mask(int_cols, int_vals,
+                                   bool_cols, bool_vals, self.size)
+        else:
+            m = np.ones(self.size, dtype=bool)
+        if path_value is not None:
+            pm = np.zeros(self.size, dtype=bool)
+            row = self._path_index.get(path_value)
+            if row is not None:
+                pm[row] = True
+            m = m & pm
         return m
 
     def compact(self, keep: np.ndarray) -> np.ndarray:

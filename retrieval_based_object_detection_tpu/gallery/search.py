@@ -87,3 +87,44 @@ def masked_cosine_scores(
 def pad_rows(n: int, multiple: int = 256) -> int:
     """Round row count up to a TPU-friendly multiple (lane-aligned tiles)."""
     return max(multiple, -(-n // multiple) * multiple)
+
+
+def quantize_rows_int8(normalized_rows: jax.Array) -> jax.Array:
+    """Symmetric int8 quantisation of L2-normalised rows (scale 1/127)."""
+    return jnp.clip(jnp.round(normalized_rows * 127.0), -127, 127
+                    ).astype(jnp.int8)
+
+
+@partial(jax.jit, static_argnames=("k", "rescore"))
+def int8_cosine_topk(
+    queries: jax.Array,      # [Q, D] unnormalised f32
+    gallery_i8: jax.Array,   # [N, D] int8 of normalised rows
+    gallery_f32: jax.Array,  # [N, D] normalised f32 (for rescoring)
+    mask: jax.Array,         # [N] bool
+    k: int,
+    rescore: int = 64,
+) -> tuple[jax.Array, jax.Array]:
+    """Quarter-bandwidth scan: int8 MXU matmul over the whole gallery →
+    top-``rescore`` candidates → exact f32 rescore of just those rows.
+
+    Exactness: equals the f32 top-k whenever the true top-k survives into
+    the int8 top-``rescore`` (recall is ~1.0 at rescore ≥ 4k for
+    unit-norm data; verified in tests). HBM traffic is N·D bytes instead
+    of 2·N·D (bf16) or 4·N·D (f32).
+    """
+    qn = l2_normalize(queries)
+    q_i8 = quantize_rows_int8(qn)
+    scores = jax.lax.dot_general(
+        q_i8, gallery_i8,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = jnp.where(mask[None, :], scores, jnp.int32(-(2 ** 31) + 1))
+    cand_s, cand_i = jax.lax.top_k(scores, rescore)
+    rows = jnp.take(gallery_f32, cand_i, axis=0)  # [Q, rescore, D]
+    exact = jnp.einsum("qd,qrd->qr", qn, rows,
+                       preferred_element_type=jnp.float32)
+    exact = jnp.where(cand_s > -(2 ** 31) + 1, exact, NEG_INF)
+    best_s, pos = jax.lax.top_k(exact, k)
+    best_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    return best_s, best_i

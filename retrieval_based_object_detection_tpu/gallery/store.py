@@ -59,8 +59,9 @@ class Gallery:
         self._payloads = PayloadColumns(capacity)
         self._ids: list[str] = []
         self._id_to_row: dict[str, int] = {}
-        # Device mirror (built lazily; invalidated by writes).
+        # Device mirrors (built lazily; invalidated by writes).
         self._dev_vectors: jax.Array | None = None
+        self._dev_int8: jax.Array | None = None
         self._dev_valid: np.ndarray | None = None
 
     # ------------------------------------------------------------ size
@@ -231,10 +232,18 @@ class Gallery:
             norms = np.linalg.norm(rows, axis=1, keepdims=True)
             buf[:n] = rows / np.maximum(norms, 1e-12)
             self._dev_vectors = jnp.asarray(buf)
+            self._dev_int8 = None
             valid = np.zeros(padded, dtype=bool)
             valid[:n] = True
             self._dev_valid = valid
         return self._dev_vectors, self._dev_valid
+
+    def _device_int8(self) -> jax.Array:
+        """int8 mirror of the normalised rows (built on first int8 query)."""
+        dev_vectors, _ = self._device_state()
+        if self._dev_int8 is None:
+            self._dev_int8 = search_lib.quantize_rows_int8(dev_vectors)
+        return self._dev_int8
 
     def search(
         self,
@@ -243,8 +252,16 @@ class Gallery:
         flt: Filter | None = None,
         exact: bool = True,
         with_vectors: bool = False,
+        method: str | None = None,
     ) -> list[list[Record]]:
-        """Batched cosine top-k. ``queries`` is [Q, D] or [D]."""
+        """Batched cosine top-k. ``queries`` is [Q, D] or [D].
+
+        ``method``: "exact" (f32 HIGHEST), "bf16" (fast MXU scan), or
+        "int8" (quarter-bandwidth int8 scan + exact f32 rescore of the top
+        candidates). Defaults from the legacy ``exact`` flag.
+        """
+        if method is None:
+            method = "exact" if exact else "bf16"
         queries = np.asarray(queries, dtype=np.float32)
         single = queries.ndim == 1
         if single:
@@ -256,10 +273,17 @@ class Gallery:
         mask = np.zeros(dev_vectors.shape[0], dtype=bool)
         mask[:n] = self._payloads.mask(flt)
         k_eff = min(k, n)
-        scores, idx = search_lib.masked_cosine_topk(
-            jnp.asarray(queries), dev_vectors, jnp.asarray(mask),
-            k=k_eff, exact=exact, gallery_normalized=True,
-        )
+        if method == "int8":
+            scores, idx = search_lib.int8_cosine_topk(
+                jnp.asarray(queries), self._device_int8(), dev_vectors,
+                jnp.asarray(mask), k=k_eff,
+                rescore=min(max(4 * k_eff, 64), dev_vectors.shape[0]),
+            )
+        else:
+            scores, idx = search_lib.masked_cosine_topk(
+                jnp.asarray(queries), dev_vectors, jnp.asarray(mask),
+                k=k_eff, exact=(method == "exact"), gallery_normalized=True,
+            )
         scores = np.asarray(scores)
         idx = np.asarray(idx)
         results: list[list[Record]] = []

@@ -29,7 +29,9 @@ class CropConfig:
     img_type: str = "original"
     classes: list[str] | None = None
     margin_ratio: float = 0.2  # 21_crop_image.py:9
-    suffixes: tuple[str, ...] = (".jpg",)  # 21 globs *.jpg only
+    # 21 globs *.jpg only — which silently misses the .jpeg files the
+    # ingest stage (01:85-86) produces; we accept both.
+    suffixes: tuple[str, ...] = (".jpg", ".jpeg")
 
 
 @dataclasses.dataclass

@@ -56,8 +56,12 @@ class LabelResult:
 def write_classes_txt(root_dir: str | Path, img_type: str,
                       per_dir: bool = True) -> list[str]:
     """classes.txt with sorted class names; optional per-class-dir copies."""
-    classes = tree.list_classes(root_dir, img_type)
     base = tree.type_dir(root_dir, img_type)
+    if not base.is_dir():
+        raise FileNotFoundError(
+            f"dataset tree not found: {base} — run the ingest stage first "
+            f"or check --root/--type")
+    classes = tree.list_classes(root_dir, img_type)
     classes_txt = base / "classes.txt"
     classes_txt.write_text("".join(f"{c}\n" for c in classes))
     if per_dir:

@@ -1,0 +1,91 @@
+"""CLI: drive the full pipeline through the rbod subcommands."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from retrieval_based_object_detection_tpu.cli.main import main
+
+
+@pytest.fixture
+def project(tmp_path, monkeypatch, rng):
+    monkeypatch.chdir(tmp_path)
+    for cls, col in (("cola", (210, 40, 40)), ("fanta", (240, 140, 30))):
+        for t, n in (("original", 2), ("natural", 2)):
+            d = tmp_path / "dataset_raw" / f"{t}_images" / cls
+            d.mkdir(parents=True)
+            for i in range(n):
+                a = np.full((120, 160, 3), 228, np.uint8)
+                a[30:90, 40:130] = col
+                a += rng.integers(0, 10, a.shape, dtype=np.uint8)
+                Image.fromarray(a).save(d / f"p{i}.png")
+    return tmp_path
+
+
+def run(argv):
+    assert main(argv) == 0
+
+
+def test_full_cli_chain(project, capsys):
+    for t in ("original", "natural"):
+        run(["ingest", "--src", "dataset_raw", "--type", t])
+        run(["label", "--type", t])
+        run(["crop", "--type", t, "--suffixes"] if False else
+            ["crop", "--type", t])
+        run(["segment", "--type", t, "--src", "dataset_cropped"])
+    out = capsys.readouterr().out
+    assert "converted=4" in out
+
+    # Store admin + embed + delegates + experiments + analyze.
+    run(["store", "create", "--name", "main", "--store", "gs"])
+    for root in ("dataset_cropped", "dataset_segmented"):
+        for t in ("original", "natural"):
+            run(["embed", "--root", root, "--type", t, "--store", "gs",
+                 "--collection", "main", "--batch-size", "8"])
+    run(["store", "list", "--store", "gs"])
+    out = capsys.readouterr().out
+    assert "main\t" in out
+
+    run(["delegates", "--store", "gs", "--collection", "main"])
+    run(["experiments", "--store", "gs", "--collection", "main",
+         "--test-group", "TestGroup1"])
+    out = capsys.readouterr().out
+    assert "rows=" in out and "csv=results/" in out
+
+    run(["analyze", "--no-plots"])
+    out = capsys.readouterr().out
+    assert "pre_a" in out and "pre_b" in out
+
+
+def test_crop_suffix_handles_jpeg(project, capsys):
+    """Ingest writes .jpeg files; crop must pick them up."""
+    run(["ingest", "--src", "dataset_raw", "--type", "original"])
+    run(["label", "--type", "original"])
+    run(["crop", "--type", "original"])
+    out = capsys.readouterr().out
+    assert "objects=4" in out, out
+
+
+def test_review_cli(project, capsys):
+    run(["ingest", "--src", "dataset_raw", "--type", "original"])
+    run(["label", "--type", "original"])
+    run(["review", "status"])
+    out = capsys.readouterr().out
+    assert "items=4" in out
+    run(["review", "render", "--out", "prev.png"])
+    assert (project / "prev.png").exists()
+    run(["review", "select", "--box", "0"])
+    run(["restore"])
+    out = capsys.readouterr().out
+    assert "restored=0" in out
+
+
+def test_store_admin_cycle(project, capsys):
+    run(["store", "create", "--name", "a", "--store", "gs", "--dim", "16"])
+    run(["store", "rename", "--name", "a", "--new-name", "b", "--store", "gs"])
+    run(["store", "list", "--store", "gs"])
+    out = capsys.readouterr().out
+    assert "b\t0" in out and "a\t" not in out
+    run(["store", "delete", "--name", "b", "--store", "gs"])
+    run(["store", "list", "--store", "gs"])
+    assert "b\t" not in capsys.readouterr().out
