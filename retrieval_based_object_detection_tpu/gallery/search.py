@@ -111,6 +111,11 @@ def int8_cosine_topk(
     the int8 top-``rescore`` (recall is ~1.0 at rescore ≥ 4k for
     unit-norm data; verified in tests). HBM traffic is N·D bytes instead
     of 2·N·D (bf16) or 4·N·D (f32).
+
+    Caveat: XLA's int8 dot lowering on the current TPU toolchain compiles
+    pathologically for million-row galleries — use the bf16 path there
+    until the Pallas int8 scan kernel lands; this path is fine for
+    small/medium galleries and on CPU.
     """
     qn = l2_normalize(queries)
     q_i8 = quantize_rows_int8(qn)

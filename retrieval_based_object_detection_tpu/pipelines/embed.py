@@ -68,6 +68,35 @@ def make_encoder(
     return encode
 
 
+def make_sharded_encoder(
+    params,
+    mesh,
+    config: clip_model.CLIPVisionConfig = clip_model.VIT_B_32,
+    compute_dtype: str = "bfloat16",
+) -> Callable[[np.ndarray], np.ndarray]:
+    """Data-parallel batch encoder over a mesh's ``dp`` axis.
+
+    Params are replicated, the image batch shards over dp, outputs gather
+    back to host — the multi-chip replacement for the reference's per-image
+    single-device loop. Batch size must divide by the dp size.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    rep = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("dp"))
+    params = jax.tree.map(lambda a: jax.device_put(a, rep), params)
+
+    @partial(jax.jit, in_shardings=(rep, batch_sh), out_shardings=batch_sh)
+    def _encode(p, x):
+        return clip_model.encode_image(p, x, config, compute_dtype=dtype)
+
+    def encode(batch: np.ndarray) -> np.ndarray:
+        return np.asarray(_encode(params, batch))
+
+    return encode
+
+
 def embed_tree(
     gallery: Gallery,
     encoder: Callable[[np.ndarray], np.ndarray],
@@ -78,53 +107,61 @@ def embed_tree(
     Payload derivation matches 31_clip_embedding_and_save_vector.py:154-175:
     data_type from the img_type, is_segmented/is_augmented from the root
     basename, class from the directory name, MD5-of-path point IDs.
+
+    The host side decodes/preprocesses the NEXT batch in a worker thread
+    while the device encodes the current one (utils.loader.PrefetchIterator
+    + JAX async dispatch = double buffering).
     """
+    from retrieval_based_object_detection_tpu.utils.loader import (
+        PrefetchIterator,
+        batched,
+    )
+
     flags = tree.stage_flags(cfg.root_dir)
     entries = tree.walk(cfg.root_dir, cfg.img_type, cfg.classes)
     counts: dict[str, int] = {}
     n_failed = 0
     B = cfg.batch_size
 
-    batch_paths: list[Path] = []
-    batch_cls: list[str] = []
-    batch_imgs: list[np.ndarray] = []
+    def prepare(chunk: list[tree.ImageEntry]):
+        imgs, paths, classes, failed = [], [], [], 0
+        for e in chunk:
+            arr = pp.load_and_preprocess(e.path, size=cfg.image_size)
+            if arr is None:
+                failed += 1
+                continue
+            imgs.append(arr)
+            paths.append(e.path)
+            classes.append(e.class_name)
+        return imgs, paths, classes, failed
 
-    def flush() -> None:
-        nonlocal batch_paths, batch_cls, batch_imgs
-        if not batch_imgs:
-            return
-        padded, valid = pp.pad_batch(batch_imgs, B)
-        vecs = encoder(padded)[: len(batch_imgs)]
-        ids = [point_id_from_path(p) for p in batch_paths]
-        payloads = [
-            Payload(
-                data_type=f"{cfg.img_type}_images",
-                is_cropped=True,
-                is_segmented=flags["is_segmented"],
-                is_augmented=flags["is_augmented"],
-                class_name=c,
-                is_delegate=False,
-                delegate_type=None,
-                img_path=str(p),
-            )
-            for p, c in zip(batch_paths, batch_cls)
-        ]
-        gallery.upsert(ids, vecs.astype(np.float32), payloads)
-        for c in batch_cls:
-            counts[c] = counts.get(c, 0) + 1
-        batch_paths, batch_cls, batch_imgs = [], [], []
-
-    for e in entries:
-        arr = pp.load_and_preprocess(e.path, size=cfg.image_size)
-        if arr is None:
-            n_failed += 1
-            continue
-        batch_paths.append(e.path)
-        batch_cls.append(e.class_name)
-        batch_imgs.append(arr)
-        if len(batch_imgs) == B:
-            flush()
-    flush()
+    loader = PrefetchIterator(batched(entries, B), prepare, depth=2)
+    try:
+        for imgs, paths, classes, failed in loader:
+            n_failed += failed
+            if not imgs:
+                continue
+            padded, _ = pp.pad_batch(imgs, B)
+            vecs = encoder(padded)[: len(imgs)]
+            ids = [point_id_from_path(p) for p in paths]
+            payloads = [
+                Payload(
+                    data_type=f"{cfg.img_type}_images",
+                    is_cropped=True,
+                    is_segmented=flags["is_segmented"],
+                    is_augmented=flags["is_augmented"],
+                    class_name=c,
+                    is_delegate=False,
+                    delegate_type=None,
+                    img_path=str(p),
+                )
+                for p, c in zip(paths, classes)
+            ]
+            gallery.upsert(ids, vecs.astype(np.float32), payloads)
+            for c in classes:
+                counts[c] = counts.get(c, 0) + 1
+    finally:
+        loader.close()
     return EmbedResult(per_class_counts=counts, n_failed=n_failed)
 
 

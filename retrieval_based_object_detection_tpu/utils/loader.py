@@ -1,0 +1,73 @@
+"""Prefetching host-side batch loader.
+
+The reference decodes and preprocesses one image at a time inline with
+inference (31_clip_embedding_and_save_vector.py:161-180). Here a background
+thread decodes/preprocesses the NEXT batch while the device runs the
+current one, so host I/O and TPU compute overlap (double buffering; JAX's
+async dispatch handles the device side).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, TypeVar
+
+T = TypeVar("T")
+U = TypeVar("U")
+
+_SENTINEL = object()
+
+
+class PrefetchIterator(Iterator[U]):
+    """Runs ``fn`` over ``items`` in a worker thread, ``depth`` ahead.
+
+    Exceptions in the worker surface at the consuming ``next()`` call;
+    ``close()`` (or garbage collection) stops the worker early.
+    """
+
+    def __init__(self, items: Iterable[T], fn: Callable[[T], U],
+                 depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._worker, args=(iter(items), fn), daemon=True)
+        self._thread.start()
+
+    def _worker(self, it, fn) -> None:
+        try:
+            for item in it:
+                if self._stop.is_set():
+                    return
+                self._q.put(("ok", fn(item)))
+            self._q.put(("done", None))
+        except BaseException as e:  # surfaced on the consumer side
+            self._q.put(("err", e))
+
+    def __iter__(self) -> "PrefetchIterator[U]":
+        return self
+
+    def __next__(self) -> U:
+        kind, val = self._q.get()
+        if kind == "ok":
+            return val
+        if kind == "done":
+            raise StopIteration
+        raise val
+
+    def close(self) -> None:
+        self._stop.set()
+        # Drain so the worker is never blocked on a full queue.
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+    def __del__(self):  # pragma: no cover
+        self.close()
+
+
+def batched(items: list[T], batch_size: int) -> list[list[T]]:
+    return [items[i: i + batch_size]
+            for i in range(0, len(items), batch_size)]

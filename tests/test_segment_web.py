@@ -1,0 +1,88 @@
+"""Manual-segmentation web UI: drive the HTTP API end to end."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from retrieval_based_object_detection_tpu.models.sam import model as SM
+from retrieval_based_object_detection_tpu.pipelines.segment import (
+    ManualSegmentSession,
+)
+from retrieval_based_object_detection_tpu.pipelines import segment_web
+
+
+@pytest.fixture
+def server(tmp_path, rng):
+    d = tmp_path / "cls"
+    d.mkdir()
+    for i in range(2):
+        arr = rng.integers(0, 255, (40, 50, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / f"m{i}.jpg")
+    sam = SM.SamPredictor(SM.init_params(SM.SAM_TINY, 0), SM.SAM_TINY)
+    session = ManualSegmentSession(sam, d)
+    srv = segment_web.serve(session, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", d
+    srv.shutdown()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url, timeout=30) as r:
+            return r.status, r.read(), r.headers.get("Content-Type")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), e.headers.get("Content-Type")
+
+
+def _post(url, obj):
+    req = urllib.request.Request(url, data=json.dumps(obj).encode(),
+                                 method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_full_click_save_flow(server):
+    base, d = server
+    status, body, ctype = _get(base + "/")
+    assert status == 200 and b"Manual segmentation" in body
+
+    status, state = 200, json.loads(_get(base + "/api/state")[1])
+    assert state["total"] == 2 and state["pos"] == 0
+
+    status, png, ctype = _get(base + "/img/current")
+    assert status == 200 and ctype == "image/png"
+
+    status, res = _post(base + "/api/click", {"x": 25, "y": 20})
+    assert status == 200 and len(res["scores"]) == 3
+    best = res["best"]
+
+    status, png, _ = _get(base + f"/img/candidate/{best}")
+    assert status == 200
+
+    status, res = _post(base + "/api/save", {"mask": best})
+    assert status == 200
+    assert (d / "m0_rmbg.png").exists()
+
+    _post(base + "/api/next", {})
+    state = json.loads(_get(base + "/api/state")[1])
+    assert state["pos"] == 1
+
+
+def test_error_paths(server):
+    base, _ = server
+    status, res = _post(base + "/api/click", {"x": 5})  # missing y
+    assert status == 400
+    status, res = _post(base + "/api/save", {"mask": 0})  # no click yet
+    assert status == 400
+    status, _, _ = _get(base + "/img/candidate/notanint")
+    assert status == 400
+    status, _, _ = _get(base + "/nope")
+    assert status == 404
