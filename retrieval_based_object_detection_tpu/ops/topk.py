@@ -13,6 +13,11 @@ Algorithm per grid step (one tile of T rows):
 
 The grid must execute sequentially (scratch carries state): declared with
 ``dimension_semantics=("arbitrary",)``.
+
+Precision note: the in-kernel dot runs at the MXU's default (bf16-mantissa)
+precision, so scores can differ from the HIGHEST-precision XLA path by
+~3e-4 and near-tie indices may swap — this kernel is the fast-scan tier;
+use gallery/search.py's exact path when bit-ordering matters.
 """
 
 from __future__ import annotations
@@ -68,10 +73,21 @@ def _topk_kernel(q_ref, tile_ref, mask_ref, out_s_ref, out_i_ref,
 
     pool_s = jnp.concatenate([best_s[:], tile_s], axis=1)   # [Q, 2k]
     pool_i = jnp.concatenate([best_i[:], tile_i], axis=1)
-    new_s, sel = _iter_topk(pool_s, 0, k)
-    new_i = jnp.take_along_axis(pool_i, sel, axis=1)
-    best_s[:] = new_s
-    best_i[:] = new_i
+    # Merge without gathers (Mosaic has no general gather): one-hot select
+    # the argmax column from pool_i each iteration.
+    Q2 = pool_s.shape[0]
+    cols2 = jax.lax.broadcasted_iota(jnp.int32, pool_s.shape, 1)
+    s = pool_s
+    new_s_list, new_i_list = [], []
+    for _ in range(k):
+        best = jnp.max(s, axis=1)
+        pos = jnp.argmax(s, axis=1).astype(jnp.int32)
+        onehot = cols2 == pos[:, None]
+        new_s_list.append(best)
+        new_i_list.append(jnp.sum(jnp.where(onehot, pool_i, 0), axis=1))
+        s = jnp.where(onehot, NEG, s)
+    best_s[:] = jnp.stack(new_s_list, axis=1)
+    best_i[:] = jnp.stack(new_i_list, axis=1)
 
     @pl.when(step == n_steps - 1)
     def _():
@@ -85,7 +101,7 @@ def pallas_cosine_topk(
     gallery: jax.Array,   # [N, D] L2-normalised f32, N % tile_rows == 0
     mask: jax.Array,      # [N] bool
     k: int = 10,
-    tile_rows: int = 2048,
+    tile_rows: int = 1024,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     Q, D = queries.shape
@@ -122,6 +138,9 @@ def pallas_cosine_topk(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # The unrolled iterative top-k keeps several [Q, T] temporaries
+            # live; the default 16M scoped-vmem cap is too tight.
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(queries, gallery, mask_f)
@@ -134,7 +153,7 @@ def cosine_topk_auto(queries: np.ndarray, gallery: np.ndarray,
     Pallas kernel (interpret mode off-TPU)."""
     import jax
 
-    tile = 2048
+    tile = 1024
     n = gallery.shape[0]
     padded = -(-n // tile) * tile
     g = np.zeros((padded, gallery.shape[1]), np.float32)

@@ -11,6 +11,7 @@ are upserted into the in-process gallery in one batch per chunk.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from pathlib import Path
 from typing import Callable, Sequence
 

@@ -1,0 +1,133 @@
+"""Training loop driver: fine-tune the CLIP tower on a labeled crop tree.
+
+Completes the training story around train.train's sharded step: walks a
+``dataset_cropped``-style tree, builds (image, class-id) batches with the
+prefetching loader, runs the dp×tp step, logs throughput, and checkpoints
+with resume (utils.checkpoint.TrainCheckpointer).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from retrieval_based_object_detection_tpu.models.clip import model as clip_model
+from retrieval_based_object_detection_tpu.models.clip import preprocess as pp
+from retrieval_based_object_detection_tpu.train import train as T
+from retrieval_based_object_detection_tpu.utils import tree
+from retrieval_based_object_detection_tpu.utils.loader import (
+    PrefetchIterator,
+    batched,
+)
+from retrieval_based_object_detection_tpu.utils.logging import (
+    StageLogger,
+    ThroughputTimer,
+)
+
+
+@dataclasses.dataclass
+class FitConfig:
+    root_dir: str
+    img_type: str = "original"
+    epochs: int = 1
+    batch_size: int = 32
+    learning_rate: float = 1e-4
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 100
+    seed: int = 0
+    compute_dtype: str = "bfloat16"
+
+
+def fit(
+    clip_config: clip_model.CLIPVisionConfig,
+    cfg: FitConfig,
+    mesh,
+    params=None,
+) -> tuple[dict, dict]:
+    """Runs the fine-tune; returns (final_params, last_metrics)."""
+    entries = tree.walk(cfg.root_dir, cfg.img_type)
+    classes = sorted({e.class_name for e in entries})
+    class_to_id = {c: i for i, c in enumerate(classes)}
+    if not entries:
+        raise ValueError(f"no images under {cfg.root_dir}/{cfg.img_type}_images")
+
+    tcfg = T.TrainConfig(num_classes=len(classes),
+                         learning_rate=cfg.learning_rate,
+                         compute_dtype=cfg.compute_dtype)
+    state_params, opt_state = T.init_state(clip_config, tcfg,
+                                           seed=cfg.seed, params=params)
+    state_params, opt_state = T.place(state_params, opt_state, mesh)
+    step_fn = T.make_train_step(clip_config, tcfg, mesh)
+
+    ckptr = None
+    start_step = 0
+    if cfg.checkpoint_dir:
+        from retrieval_based_object_detection_tpu.utils.checkpoint import (
+            TrainCheckpointer,
+        )
+
+        ckptr = TrainCheckpointer(cfg.checkpoint_dir)
+        latest = ckptr.latest_step()
+        if latest is not None:
+            restored = ckptr.restore(
+                {"params": state_params, "opt_state": opt_state})
+            state_params = restored["params"]
+            opt_state = restored["opt_state"]
+            state_params, opt_state = T.place(state_params, opt_state, mesh)
+            start_step = latest
+
+    log = StageLogger("train")
+    timer = ThroughputTimer("images")
+    rng = np.random.default_rng(cfg.seed)
+    metrics = {}
+    step = start_step
+
+    def prepare(chunk):
+        imgs, labels = [], []
+        for e in chunk:
+            arr = pp.load_and_preprocess(e.path, size=clip_config.image_size)
+            if arr is None:
+                continue
+            imgs.append(arr)
+            labels.append(class_to_id[e.class_name])
+        return imgs, labels
+
+    for epoch in range(cfg.epochs):
+        order = rng.permutation(len(entries))
+        shuffled = [entries[i] for i in order]
+        # Drop the ragged tail: the jitted step needs static batch shapes.
+        full = shuffled[: len(shuffled) - len(shuffled) % cfg.batch_size]
+        if not full:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} exceeds dataset size "
+                f"{len(shuffled)}")
+        loader = PrefetchIterator(batched(full, cfg.batch_size), prepare)
+        try:
+            for imgs, labels in loader:
+                if len(imgs) < cfg.batch_size:
+                    continue  # decode failures broke the batch shape
+                x = np.stack(imgs)
+                y = np.asarray(labels, np.int32)
+                state_params, opt_state, metrics = step_fn(
+                    state_params, opt_state, x, y)
+                step += 1
+                timer.add(len(imgs))
+                if ckptr and step % cfg.checkpoint_every == 0:
+                    ckptr.save(step, {
+                        "params": jax.device_get(state_params),
+                        "opt_state": jax.device_get(opt_state)})
+        finally:
+            loader.close()
+        log.event("epoch", epoch=epoch,
+                  loss=round(float(metrics["loss"]), 4),
+                  accuracy=round(float(metrics["accuracy"]), 4),
+                  throughput=round(timer.per_sec, 1))
+
+    if ckptr:
+        ckptr.save(step, {"params": jax.device_get(state_params),
+                          "opt_state": jax.device_get(opt_state)})
+        ckptr.close()
+    log.summary(steps=step, classes=len(classes))
+    return state_params, {k: float(v) for k, v in metrics.items()}
