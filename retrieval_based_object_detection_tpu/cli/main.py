@@ -311,6 +311,48 @@ def cmd_experiments(args) -> int:
     return 0
 
 
+def cmd_wizard(args) -> int:
+    """Interactive pipeline walk-through — the reference's input()-driven
+    UX (SURVEY.md §5 config audit) over the same decision points, calling
+    the exact same stage commands as the flags."""
+    from retrieval_based_object_detection_tpu.utils.config import (
+        prompt_choice,
+        prompt_value,
+        prompt_yes_no,
+    )
+
+    stage = prompt_choice(
+        "Which stage do you want to run?",
+        ["ingest", "label", "crop", "segment", "augment", "embed",
+         "delegates", "experiments", "analyze"])
+    img_type = None
+    if stage in ("ingest", "label", "crop", "segment", "augment", "embed"):
+        img_type = prompt_choice("Image type?", ["original", "natural"],
+                                 default="original")
+    argv: list[str] = [stage]
+    if img_type:
+        argv += ["--type", img_type]
+    if stage == "embed":
+        argv += ["--root", prompt_choice(
+            "Dataset directory?",
+            ["dataset_cropped", "dataset_segmented", "dataset_augmented"])]
+        argv += ["--collection",
+                 prompt_value("Collection name", default="default")]
+    if stage in ("delegates", "experiments"):
+        argv += ["--collection",
+                 prompt_value("Collection name", default="default")]
+    if stage == "experiments":
+        group = prompt_choice(
+            "Test group?",
+            ["TestGroup1 (dataset_segmented)", "TestGroup2 (dataset_cropped)"],
+            default="TestGroup1 (dataset_segmented)")
+        argv += ["--test-group", group.split()[0]]
+    if not prompt_yes_no(f"Run: rbod {' '.join(argv)} ?", default=True):
+        print("aborted")
+        return 1
+    return main(argv)
+
+
 def cmd_analyze(args) -> int:
     from retrieval_based_object_detection_tpu.pipelines import analysis
 
@@ -442,6 +484,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--results-dir", default="results")
     sp.add_argument("--match-mode", default="same_class",
                     choices=("same_class", "nearest"))
+
+    add("wizard", cmd_wizard,
+        help="interactive stage picker (the reference's prompt-driven UX)")
 
     sp = add("analyze", cmd_analyze, help="analysis + plots (41)")
     sp.add_argument("--csv", default=None)
