@@ -311,6 +311,47 @@ def cmd_experiments(args) -> int:
     return 0
 
 
+def cmd_e2e(args) -> int:
+    """One-shot pipeline: label → crop → segment → embed → delegates →
+    experiments → analyze on a raw labeled-or-unlabeled JPEG tree."""
+    for t in ("original", "natural"):
+        rc = main(["label", "--root", args.data, "--type", t]
+                  + (["--overwrite"] if args.overwrite else []))
+        if rc:
+            return rc
+        # Stage roots derive from the data root's parent for isolation.
+        rc = main(["crop", "--src", args.data, "--dst", args.cropped,
+                   "--type", t])
+        if rc:
+            return rc
+        rc = main(["segment", "--src", args.cropped, "--dst", args.segmented,
+                   "--type", t]
+                  + (["--sam-checkpoint", args.sam_checkpoint]
+                     if args.sam_checkpoint else []))
+        if rc:
+            return rc
+        for root in (args.cropped, args.segmented):
+            rc = main(["embed", "--root", root, "--type", t,
+                       "--store", args.store, "--collection",
+                       args.collection]
+                      + (["--clip-checkpoint", args.clip_checkpoint]
+                         if args.clip_checkpoint else []))
+            if rc:
+                return rc
+    rc = main(["delegates", "--store", args.store,
+               "--collection", args.collection])
+    if rc:
+        return rc
+    rc = main(["experiments", "--store", args.store,
+               "--collection", args.collection,
+               "--test-group", args.segmented,
+               "--results-dir", args.results_dir])
+    if rc:
+        return rc
+    return main(["analyze", "--results-dir", args.results_dir]
+                + (["--no-plots"] if args.no_plots else []))
+
+
 def cmd_wizard(args) -> int:
     """Interactive pipeline walk-through — the reference's input()-driven
     UX (SURVEY.md §5 config audit) over the same decision points, calling
@@ -484,6 +525,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--results-dir", default="results")
     sp.add_argument("--match-mode", default="same_class",
                     choices=("same_class", "nearest"))
+
+    sp = add("e2e", cmd_e2e,
+             help="full pipeline in one shot: label->crop->segment->embed->"
+                  "delegates->experiments->analyze")
+    sp.add_argument("--data", default="dataset_jpeg")
+    sp.add_argument("--cropped", default="dataset_cropped")
+    sp.add_argument("--segmented", default="dataset_segmented")
+    sp.add_argument("--store", default="gallery_store")
+    sp.add_argument("--collection", default="default")
+    sp.add_argument("--results-dir", default="results")
+    sp.add_argument("--clip-checkpoint")
+    sp.add_argument("--sam-checkpoint")
+    sp.add_argument("--overwrite", action="store_true")
+    sp.add_argument("--no-plots", action="store_true")
 
     add("wizard", cmd_wizard,
         help="interactive stage picker (the reference's prompt-driven UX)")

@@ -86,3 +86,23 @@ def test_error_paths(server):
     assert status == 400
     status, _, _ = _get(base + "/nope")
     assert status == 404
+
+
+def test_concurrent_clicks_are_serialized(server):
+    """Two browsers clicking at once must not corrupt session state
+    (the reference's module-global state dict was racy, 22m:50-59)."""
+    import concurrent.futures
+
+    base, d = server
+    _get(base + "/img/current")  # ensure loaded
+
+    def click(i):
+        return _post(base + "/api/click", {"x": 10 + i, "y": 10 + i})
+
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        results = list(ex.map(click, range(4)))
+    assert all(status == 200 and len(res["scores"]) == 3
+               for status, res in results)
+    # Session still coherent: save works.
+    status, res = _post(base + "/api/save", {"mask": 0})
+    assert status == 200
