@@ -1,0 +1,108 @@
+"""Fused retrieval-as-detection serving path."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from retrieval_based_object_detection_tpu.gallery.store import Gallery
+from retrieval_based_object_detection_tpu.gallery.schema import Payload
+from retrieval_based_object_detection_tpu.models.clip.model import (
+    CLIPVisionConfig,
+    init_params,
+)
+from retrieval_based_object_detection_tpu.pipelines import serve as SV
+from retrieval_based_object_detection_tpu.pipelines import embed as ep
+from retrieval_based_object_detection_tpu.pipelines import delegates as dp
+from retrieval_based_object_detection_tpu.utils.ids import point_id_from_path
+
+TINY = CLIPVisionConfig(image_size=64, patch_size=16, width=64, layers=2,
+                        heads=1, embed_dim=32)
+
+
+def product_photo(color, rng, size=(160, 200)):
+    a = np.full(size + (3,), 230, np.uint8)
+    a[40:120, 50:150] = color
+    return np.clip(a + rng.integers(0, 10, a.shape), 0, 255).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def detector(rng=np.random.default_rng(0)):
+    params = init_params(TINY, seed=0)
+    gallery = Gallery("serve", dim=TINY.embed_dim)
+    encoder = ep.make_encoder(params, TINY)
+    # Build reference crops per class and embed them.
+    colors = {"red": (210, 40, 40), "blue": (40, 40, 210)}
+    for cls, col in colors.items():
+        crops = []
+        for i in range(6):
+            img = product_photo(col, rng)
+            crops.append(img[40:120, 50:150])  # the object region
+        batch = np.stack([
+            np.asarray(Image.fromarray(c).resize((64, 64))) for c in crops
+        ]).astype(np.float32)
+        from retrieval_based_object_detection_tpu.models.clip.preprocess import (
+            CLIP_MEAN, CLIP_STD,
+        )
+        batch = (batch / 255.0 - CLIP_MEAN) / CLIP_STD
+        vecs = encoder(np.concatenate(
+            [batch, np.zeros((2,) + batch.shape[1:], np.float32)]))[:6]
+        gallery.upsert(
+            [point_id_from_path(f"/{cls}/{i}") for i in range(6)],
+            vecs.astype(np.float32),
+            [Payload(data_type="original_images", class_name=cls,
+                     img_path=f"/{cls}/{i}") for i in range(6)])
+    dp.build_delegates(gallery)
+    return SV.RetrievalDetector(params, gallery, TINY)
+
+
+def test_detect_finds_and_classifies(detector):
+    rng = np.random.default_rng(42)
+    red = product_photo((210, 40, 40), rng)
+    blue = product_photo((40, 40, 210), rng)
+    dets = detector.detect(np.stack([red, blue]))
+    assert len(dets) == 2
+    for det, expected in zip(dets, ("red", "blue")):
+        x1, y1, x2, y2 = det["box"]
+        # Box covers the object (with margin).
+        assert x1 < 60 and x2 > 140 and y1 < 50 and y2 > 110
+        assert det["confidence"] > 0.3
+        assert det["class_name"] == expected, dets
+        assert -1.0 <= det["similarity"] <= 1.0
+
+
+def test_detector_requires_delegates(rng):
+    g = Gallery("empty", dim=TINY.embed_dim)
+    with pytest.raises(ValueError, match="no delegates"):
+        SV.RetrievalDetector(init_params(TINY, 0), g, TINY)
+
+
+def test_http_endpoint(detector):
+    srv = SV.serve_http(detector, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        rng = np.random.default_rng(7)
+        buf = io.BytesIO()
+        Image.fromarray(product_photo((210, 40, 40), rng)).save(buf, "PNG")
+        req = urllib.request.Request(base + "/detect", data=buf.getvalue(),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            det = json.loads(r.read())
+        assert det["class_name"] == "red"
+
+        # Probe: garbage body → clean 400.
+        req = urllib.request.Request(base + "/detect", data=b"not an image",
+                                     method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
