@@ -311,6 +311,31 @@ def cmd_experiments(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Online retrieval-as-detection HTTP service over a built store."""
+    from retrieval_based_object_detection_tpu.pipelines.serve import (
+        RetrievalDetector,
+        serve_http,
+    )
+
+    store = _store_load(args.store)
+    gallery = store.get(args.collection)
+    params, config = _load_clip(args.clip_checkpoint)
+    detector = RetrievalDetector(
+        params, gallery, config,
+        delegate_type=args.delegate_type, case=args.case,
+        data_type=args.data_type)
+    srv = serve_http(detector, host=args.host, port=args.port)
+    print(f"serving retrieval-as-detection on "
+          f"http://{args.host}:{srv.server_address[1]}/detect "
+          f"({len(detector.classes)} classes)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def cmd_e2e(args) -> int:
     """One-shot pipeline: label → crop → segment → embed → delegates →
     experiments → analyze on a raw labeled-or-unlabeled JPEG tree."""
@@ -525,6 +550,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--results-dir", default="results")
     sp.add_argument("--match-mode", default="same_class",
                     choices=("same_class", "nearest"))
+
+    sp = add("serve", cmd_serve,
+             help="online detection-by-retrieval HTTP service")
+    sp.add_argument("--store", default="gallery_store")
+    sp.add_argument("--collection", default="default")
+    sp.add_argument("--clip-checkpoint")
+    sp.add_argument("--delegate-type", default="average")
+    sp.add_argument("--case", default="pre_a")
+    sp.add_argument("--data-type", default="original_images")
+    sp.add_argument("--host", default="0.0.0.0")
+    sp.add_argument("--port", type=int, default=8080)
 
     sp = add("e2e", cmd_e2e,
              help="full pipeline in one shot: label->crop->segment->embed->"
