@@ -1,0 +1,209 @@
+"""Benchmark suite targeting the BASELINE.md north-star numbers.
+
+Run: ``python benchmarks/suite.py [--quick] [--json out.json]``
+
+Covers the five driver configs (BASELINE.json):
+  1. embed+retrieve      — CLIP encode throughput + small-gallery query
+  2. fused preprocessing — device crop/resize/normalise throughput
+  3. delegate build      — per-class reduction throughput (incl. medoid)
+  4. detection serving   — fused detect→embed→classify latency
+  5. gallery scaling     — top-k latency vs gallery size (bf16 scan)
+
+Every timing forces completion with a host scalar fetch (the axon remote
+backend returns from block_until_ready early) and warms up with the same
+static shapes it measures.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+
+# Runnable as a plain script from anywhere: put the repo root on the path.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _fetch(x) -> float:
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x) if hasattr(x, "dtype") else x)
+
+
+def timeit(fn, iters: int = 5) -> float:
+    """Median seconds per call; fn must force completion itself."""
+    fn()  # compile/warmup
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_embed(quick: bool) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from retrieval_based_object_detection_tpu.models.clip import model as M
+
+    cfg = M.VIT_B_32
+    params = M.init_params(cfg, 0)
+    B = 192
+    inner = 5 if quick else 20
+    imgs = jax.random.normal(jax.random.key(0), (B, 224, 224, 3),
+                             jnp.float32)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run(p, x, n):
+        def body(i, acc):
+            return acc + jnp.sum(M.encode_image(
+                p, x + i * 1e-6, cfg, compute_dtype=jnp.bfloat16))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    dt = timeit(lambda: _fetch(run(params, imgs, inner)), iters=3)
+    return {"crops_per_sec": round(B * inner / dt, 1), "batch": B}
+
+
+def bench_preprocess(quick: bool) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from retrieval_based_object_detection_tpu.ops.image import (
+        crop_resize_batch,
+    )
+
+    B = 256
+    imgs = jax.random.uniform(jax.random.key(0), (B, 480, 640, 3),
+                              jnp.float32, 0, 255)
+    boxes = jnp.tile(jnp.asarray([[40.0, 30.0, 600.0, 450.0]]), (B, 1))
+    inner = 5 if quick else 20
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run(x, b, n):
+        def body(i, acc):
+            return acc + jnp.sum(crop_resize_batch(x + i * 1e-6, b, 224))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    dt = timeit(lambda: _fetch(run(imgs, boxes, inner)), iters=3)
+    return {"crops_per_sec": round(B * inner / dt, 1), "batch": B}
+
+
+def bench_delegates(quick: bool) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from retrieval_based_object_detection_tpu.ops.delegates import (
+        compute_all_delegates,
+    )
+
+    n = 1024 if quick else 4096
+    vecs = jax.random.normal(jax.random.key(0), (n, 512), jnp.float32)
+    mask = jnp.ones(n, bool)
+
+    def run():
+        out = compute_all_delegates(vecs, mask)
+        return _fetch(out["average"]) + _fetch(out["medoid"])
+
+    dt = timeit(run, iters=3)
+    return {"members": n, "ms_per_class_all4": round(dt * 1000, 2)}
+
+
+def bench_serving(quick: bool) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from retrieval_based_object_detection_tpu.models.clip import model as M
+    from retrieval_based_object_detection_tpu.pipelines.serve import (
+        detect_embed_classify,
+    )
+
+    cfg = M.VIT_B_32
+    params = M.init_params(cfg, 0)
+    B = 16
+    imgs = jax.random.uniform(jax.random.key(1), (B, 480, 640, 3),
+                              jnp.float32, 0, 255)
+    delegates = jax.random.normal(jax.random.key(2), (100, 512), jnp.float32)
+
+    def run():
+        out = detect_embed_classify(params, imgs, delegates, cfg)
+        return _fetch(out["similarity"])
+
+    dt = timeit(run, iters=3 if quick else 5)
+    return {"batch": B, "ms_per_batch": round(dt * 1000, 2),
+            "images_per_sec": round(B / dt, 1)}
+
+
+def bench_gallery_scaling(quick: bool) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from retrieval_based_object_detection_tpu.gallery import search as S
+
+    sizes = [100_000] if quick else [100_000, 1_000_000]
+    inner = 5 if quick else 20
+    out = {}
+    for n in sizes:
+        @jax.jit
+        def mk(key, n=n):
+            g = jax.random.normal(key, (n, 512), jnp.float32)
+            return (g / jnp.linalg.norm(g, axis=1, keepdims=True)
+                    ).astype(jnp.bfloat16)
+
+        gal = mk(jax.random.key(3))
+        msk = jnp.ones(n, bool)
+        q = jax.random.normal(jax.random.key(4), (16, 512), jnp.float32)
+
+        @partial(jax.jit, static_argnames=("m",))
+        def run(q, g, mask, m):
+            def body(i, acc):
+                qn = S.l2_normalize(q + i * 1e-6)
+                scores = jnp.dot(qn.astype(jnp.bfloat16), g.T,
+                                 preferred_element_type=jnp.float32)
+                scores = jnp.where(mask[None, :], scores, -1e30)
+                return acc + jnp.sum(jax.lax.approx_max_k(scores, k=10)[0])
+            return jax.lax.fori_loop(0, m, body, jnp.float32(0))
+
+        dt = timeit(lambda: _fetch(run(q, gal, msk, inner)), iters=3)
+        out[f"n={n}"] = {"ms_per_16query_batch": round(dt / inner * 1000, 3)}
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--only", nargs="*", default=None,
+                    choices=["embed", "preprocess", "delegates", "serving",
+                             "gallery"])
+    args = ap.parse_args()
+
+    benches = {
+        "embed": bench_embed,
+        "preprocess": bench_preprocess,
+        "delegates": bench_delegates,
+        "serving": bench_serving,
+        "gallery": bench_gallery_scaling,
+    }
+    results = {}
+    for name, fn in benches.items():
+        if args.only and name not in args.only:
+            continue
+        print(f"[bench] {name} ...", file=sys.stderr)
+        t0 = time.time()
+        results[name] = fn(args.quick)
+        print(f"[bench] {name}: {results[name]} "
+              f"({time.time() - t0:.0f}s)", file=sys.stderr)
+    print(json.dumps(results, indent=2))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -271,9 +271,11 @@ def cmd_embed(args) -> int:
     encoder = ep.make_encoder(params, config,
                               compute_dtype=args.compute_dtype,
                               exact=not args.fast)
+    from retrieval_based_object_detection_tpu.utils.logging import StageLogger
+
     res = ep.embed_tree(gallery, encoder, ep.EmbedConfig(
         root_dir=args.root, img_type=args.type, classes=args.classes,
-        batch_size=args.batch_size))
+        batch_size=args.batch_size), logger=StageLogger("embed"))
     _store_save(store, args.store)
     print(f"embedded={res.total} failed={res.n_failed}")
     for cls, n in sorted(res.per_class_counts.items()):

@@ -118,37 +118,48 @@ def init_params(config: CLIPVisionConfig = VIT_B_32,
     return jax.tree.map(jnp.asarray, params)
 
 
-def _attention(x: jax.Array, block: Params, heads: int) -> jax.Array:
-    """Standard bidirectional MHA for the (short) patch sequence.
+def _attention(x: jax.Array, block: Params, heads: int,
+               fused: bool = False) -> jax.Array:
+    """Bidirectional MHA for the (short) patch sequence.
 
-    The patch sequence is 50 tokens for ViT-B/32 — flash/blockwise attention
-    buys nothing here; one fused einsum chain keeps the MXU busy. The SAM
-    encoder (4096 tokens) uses the Pallas fused kernel in ``ops.attention``.
+    ``fused=True`` routes the attention core through the Pallas kernel in
+    ``ops.clip_attention`` — the head split/transpose + [T, T] einsum +
+    softmax + merge chain otherwise relayouts through HBM and costs ~40%
+    of the encode for ~1% of its FLOPs (DESIGN.md ablations). The einsum
+    path is the oracle and CPU fallback.
     """
     B, T, W = x.shape
     H = heads
     D = W // H
     qkv = jnp.dot(x, block["w_qkv"], preferred_element_type=jnp.float32)
     qkv = (qkv + block["b_qkv"]).astype(x.dtype)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = q.reshape(B, T, H, D).transpose(0, 2, 1, 3)
-    k = k.reshape(B, T, H, D).transpose(0, 2, 1, 3)
-    v = v.reshape(B, T, H, D).transpose(0, 2, 1, 3)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32)
-    logits = logits * (D ** -0.5)
-    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
-    out = out.transpose(0, 2, 1, 3).reshape(B, T, W)
+    if fused:
+        from retrieval_based_object_detection_tpu.ops.clip_attention import (
+            clip_attention_core,
+        )
+
+        out = clip_attention_core(qkv, heads=H)
+    else:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+        k = k.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits * (D ** -0.5)
+        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, W)
     out = jnp.dot(out, block["w_out"], preferred_element_type=jnp.float32)
     return (out + block["b_out"]).astype(x.dtype)
 
 
-def _block(x: jax.Array, block: Params, heads: int) -> jax.Array:
+def _block(x: jax.Array, block: Params, heads: int,
+           fused_attention: bool = False) -> jax.Array:
     """Pre-LN residual attention block with QuickGELU MLP."""
     h = layer_norm(x, block["ln_1_scale"], block["ln_1_bias"])
-    x = x + _attention(h, block, heads)
+    x = x + _attention(h, block, heads, fused=fused_attention)
     h = layer_norm(x, block["ln_2_scale"], block["ln_2_bias"])
     h = jnp.dot(h, block["w_fc"], preferred_element_type=jnp.float32)
     # Activation in f32 (the dot already accumulated in f32), cast after:
@@ -163,9 +174,19 @@ def encode_image(
     images: jax.Array,  # [B, H, W, 3] preprocessed (normalised) NHWC
     config: CLIPVisionConfig = VIT_B_32,
     compute_dtype: jnp.dtype = jnp.float32,
+    fused_attention: bool | None = None,
 ) -> jax.Array:
     """Forward pass → [B, embed_dim] image embeddings (un-normalised,
-    matching ``model.encode_image`` in the torch reference)."""
+    matching ``model.encode_image`` in the torch reference).
+
+    ``fused_attention=None`` auto-enables the Pallas attention-core kernel
+    on TPU for bf16 throughput runs; exact-parity (f32) runs keep the
+    einsum path.
+    """
+    if fused_attention is None:
+        # Opt-in until the kernel's hardware win is confirmed on the
+        # current toolchain (see DESIGN.md); flip to TPU-auto then.
+        fused_attention = False
     x = images.astype(compute_dtype)
     kernel = params["conv_kernel"].astype(compute_dtype)
     # Patchify: 32x32 stride-32 conv == one big matmul per patch grid.
@@ -192,7 +213,7 @@ def encode_image(
     )
 
     def body(carry, layer):
-        return _block(carry, layer, config.heads), None
+        return _block(carry, layer, config.heads, fused_attention), None
 
     x, _ = jax.lax.scan(body, x, blocks)
     cls_out = layer_norm(

@@ -102,6 +102,7 @@ def embed_tree(
     gallery: Gallery,
     encoder: Callable[[np.ndarray], np.ndarray],
     cfg: EmbedConfig,
+    logger=None,
 ) -> EmbedResult:
     """Embed every image under the stage root and upsert into the gallery.
 
@@ -136,6 +137,11 @@ def embed_tree(
             classes.append(e.class_name)
         return imgs, paths, classes, failed
 
+    from retrieval_based_object_detection_tpu.utils.logging import (
+        ThroughputTimer,
+    )
+
+    timer = ThroughputTimer("crops")
     loader = PrefetchIterator(batched(entries, B), prepare, depth=2)
     try:
         for imgs, paths, classes, failed in loader:
@@ -159,10 +165,14 @@ def embed_tree(
                 for p, c in zip(paths, classes)
             ]
             gallery.upsert(ids, vecs.astype(np.float32), payloads)
+            timer.add(len(imgs))
             for c in classes:
                 counts[c] = counts.get(c, 0) + 1
     finally:
         loader.close()
+    if logger is not None:
+        logger.summary(total=timer.n, failed=n_failed,
+                       crops_per_sec=round(timer.per_sec, 1))
     return EmbedResult(per_class_counts=counts, n_failed=n_failed)
 
 
