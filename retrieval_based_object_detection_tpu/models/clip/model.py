@@ -184,9 +184,11 @@ def encode_image(
     einsum path.
     """
     if fused_attention is None:
-        # Opt-in until the kernel's hardware win is confirmed on the
-        # current toolchain (see DESIGN.md); flip to TPU-auto then.
-        fused_attention = False
+        # Hardware-validated: 12.1k vs 9.5k crops/s at batch 192 on v5e,
+        # cos 0.99995 vs the einsum path (DESIGN.md). Auto-on for bf16
+        # throughput runs; f32 parity runs keep the einsum oracle.
+        fused_attention = (jax.default_backend() == "tpu"
+                           and compute_dtype == jnp.bfloat16)
     x = images.astype(compute_dtype)
     kernel = params["conv_kernel"].astype(compute_dtype)
     # Patchify: 32x32 stride-32 conv == one big matmul per patch grid.
