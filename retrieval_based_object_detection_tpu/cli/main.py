@@ -42,11 +42,20 @@ def _store_save(store, path: str) -> None:
 
 
 def _load_clip(checkpoint: str | None, image_size: int | None = None):
-    """CLIP params + config: converted checkpoint if given, else random
-    init (clearly warned — useful for pipeline testing without weights)."""
+    """CLIP params + config: converted checkpoint if given (torch file or
+    a converted orbax dir from `rbod convert-weights`), else random init
+    (clearly warned — useful for pipeline testing without weights)."""
     from retrieval_based_object_detection_tpu.models.clip import model as M
 
-    if checkpoint:
+    if checkpoint and Path(checkpoint).is_dir():
+        from retrieval_based_object_detection_tpu.utils.checkpoint import (
+            load_params,
+        )
+
+        config = M.VIT_B_32
+        params = load_params(Path(checkpoint),
+                             like=M.init_params(config, seed=0))
+    elif checkpoint:
         from retrieval_based_object_detection_tpu.models.clip.convert import (
             load_torch_checkpoint,
         )
@@ -313,6 +322,31 @@ def cmd_experiments(args) -> int:
     return 0
 
 
+def cmd_convert_weights(args) -> int:
+    """Convert a torch checkpoint (OpenAI CLIP / HF CLIPVision / SAM) to a
+    fast-loading orbax directory."""
+    from retrieval_based_object_detection_tpu.utils.checkpoint import (
+        save_params,
+    )
+
+    if args.model == "clip":
+        from retrieval_based_object_detection_tpu.models.clip.convert import (
+            load_torch_checkpoint,
+        )
+
+        params = load_torch_checkpoint(args.input)
+    else:
+        from retrieval_based_object_detection_tpu.models.sam.convert import (
+            load_torch_checkpoint,
+        )
+
+        params, config = load_torch_checkpoint(args.input)
+        print(f"SAM config: {config}")
+    save_params(params, args.output)
+    print(f"converted {args.input} -> {args.output}")
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Online retrieval-as-detection HTTP service over a built store."""
     from retrieval_based_object_detection_tpu.pipelines.serve import (
@@ -552,6 +586,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--results-dir", default="results")
     sp.add_argument("--match-mode", default="same_class",
                     choices=("same_class", "nearest"))
+
+    sp = add("convert-weights", cmd_convert_weights,
+             help="torch checkpoint -> orbax dir (clip or sam)")
+    sp.add_argument("--model", choices=("clip", "sam"), default="clip")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
 
     sp = add("serve", cmd_serve,
              help="online detection-by-retrieval HTTP service")
