@@ -48,20 +48,26 @@ def _load_clip(checkpoint: str | None, image_size: int | None = None):
     from retrieval_based_object_detection_tpu.models.clip import model as M
 
     if checkpoint and Path(checkpoint).is_dir():
+        import dataclasses
+        import json
+
         from retrieval_based_object_detection_tpu.utils.checkpoint import (
             load_params,
         )
 
-        config = M.VIT_B_32
-        params = load_params(Path(checkpoint),
+        cfg_file = Path(checkpoint) / "clip_config.json"
+        if cfg_file.exists():
+            config = M.CLIPVisionConfig(**json.loads(cfg_file.read_text()))
+        else:
+            config = M.VIT_B_32
+        params = load_params(Path(checkpoint) / "params",
                              like=M.init_params(config, seed=0))
     elif checkpoint:
         from retrieval_based_object_detection_tpu.models.clip.convert import (
             load_torch_checkpoint,
         )
 
-        params = load_torch_checkpoint(checkpoint)
-        config = M.VIT_B_32
+        params, config = load_torch_checkpoint(checkpoint)
     else:
         print("[rbod] WARNING: no --clip-checkpoint given; using randomly "
               "initialised ViT-B/32 weights (embeddings are NOT meaningful "
@@ -102,6 +108,11 @@ def cmd_store(args) -> int:
         for name, count in store.list_collections():
             print(f"{name}\t{count}")
     elif args.action == "create":
+        if args.name in store and not args.force:
+            print(f"error: collection {args.name!r} exists "
+                  f"({len(store.get(args.name))} points); pass --force to "
+                  f"recreate and DISCARD its contents", file=sys.stderr)
+            return 1
         store.create_collection(args.name, dim=args.dim,
                                 distance=args.distance)
         _store_save(store, args.store)
@@ -329,21 +340,29 @@ def cmd_convert_weights(args) -> int:
         save_params,
     )
 
+    import dataclasses
+    import json
+
+    out = Path(args.output)
     if args.model == "clip":
         from retrieval_based_object_detection_tpu.models.clip.convert import (
             load_torch_checkpoint,
         )
 
-        params = load_torch_checkpoint(args.input)
+        params, config = load_torch_checkpoint(args.input)
+        save_params(params, out / "params")
+        out.joinpath("clip_config.json").write_text(
+            json.dumps(dataclasses.asdict(config), indent=2))
+        print(f"CLIP config: {config}")
     else:
         from retrieval_based_object_detection_tpu.models.sam.convert import (
             load_torch_checkpoint,
         )
 
         params, config = load_torch_checkpoint(args.input)
+        save_params(params, out / "params")
         print(f"SAM config: {config}")
-    save_params(params, args.output)
-    print(f"converted {args.input} -> {args.output}")
+    print(f"converted {args.input} -> {out}")
     return 0
 
 
@@ -502,6 +521,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--new-name")
     sp.add_argument("--dim", type=int, default=512)
     sp.add_argument("--distance", default="cosine")
+    sp.add_argument("--force", action="store_true",
+                    help="allow 'create' to recreate an existing collection")
 
     sp = add("label", cmd_label, help="auto-label with detector (11)")
     sp.add_argument("--root", default="dataset_jpeg")

@@ -68,13 +68,19 @@ def save_store(store: VectorStore, root: str | Path) -> None:
     names = [n for n, _ in store.list_collections()]
     for name in names:
         save_gallery(store.get(name), root)
-    # Drop snapshots of collections that no longer exist (rename/delete).
-    for stale in root.glob("*.rbod"):
-        if stale.stem not in names:
-            stale.unlink()
+    # Remove ONLY explicitly deleted/renamed snapshots. Snapshots that
+    # merely failed to load (and were skipped with a warning) must
+    # survive unrelated saves, so the manifest keeps them too.
+    for dead in store._tombstones:
+        snap = root / f"{dead}.rbod"
+        if snap.exists():
+            snap.unlink()
+    store._tombstones.clear()
+    manifest_names = sorted(
+        set(names) | {p.stem for p in root.glob("*.rbod")})
     tmp = root / ".manifest.json.tmp"
     with open(tmp, "w") as f:
-        json.dump({"collections": names}, f)
+        json.dump({"collections": manifest_names}, f)
     os.replace(tmp, root / "manifest.json")
 
 

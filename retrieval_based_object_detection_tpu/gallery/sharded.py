@@ -122,8 +122,11 @@ class ShardedGallerySearcher:
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None]
+        # Per-shard top-k runs on each shard's local rows, so k must also
+        # fit the per-shard row count.
+        per_shard = self.dev_vectors.shape[0] // self.mesh.shape[AXIS]
         scores, idx = sharded_topk(
             jnp.asarray(queries), self.dev_vectors, self.dev_mask,
-            self.mesh, k=min(k, self.n_rows), exact=exact,
+            self.mesh, k=min(k, self.n_rows, per_shard), exact=exact,
         )
         return np.asarray(scores), np.asarray(idx)

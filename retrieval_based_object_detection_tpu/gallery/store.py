@@ -333,6 +333,10 @@ class VectorStore:
 
     def __init__(self) -> None:
         self._collections: dict[str, Gallery] = {}
+        # Names whose snapshots should be removed at next save — only
+        # explicit deletes/renames go here, never load failures (a
+        # skipped-on-load collection must survive unrelated saves).
+        self._tombstones: set[str] = set()
 
     def list_collections(self) -> list[tuple[str, int]]:
         """[(name, point_count)] — mirrors qdrant_manager.py:41-50."""
@@ -347,6 +351,7 @@ class VectorStore:
             raise KeyError(f"collection exists: {name}")
         g = Gallery(name, dim=dim, distance=distance)
         self._collections[name] = g
+        self._tombstones.discard(name)
         return g
 
     def get(self, name: str) -> Gallery:
@@ -362,11 +367,15 @@ class VectorStore:
         g = self._collections.pop(old)
         g.name = new
         self._collections[new] = g
+        self._tombstones.add(old)
+        self._tombstones.discard(new)
 
     def delete_collection(self, name: str) -> None:
         del self._collections[name]
+        self._tombstones.add(name)
 
     def delete_all_collections(self) -> int:
         n = len(self._collections)
+        self._tombstones.update(self._collections)
         self._collections.clear()
         return n

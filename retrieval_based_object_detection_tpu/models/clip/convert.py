@@ -157,12 +157,16 @@ def convert_state_dict(sd: Mapping[str, object],
     return params
 
 
-def load_torch_checkpoint(path: str,
-                          config: CLIPVisionConfig | None = None) -> Params:
-    """Load a .pt/.bin torch checkpoint file and convert (CPU torch)."""
+def load_torch_checkpoint(
+    path: str, config: CLIPVisionConfig | None = None
+) -> tuple[Params, CLIPVisionConfig]:
+    """Load a .pt/.bin torch checkpoint file and convert (CPU torch).
+    Returns (params, config) — the config is inferred from the weights
+    (so ViT-L/14 etc. load with their real layout) unless given."""
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
-    return convert_state_dict(obj, config)
+    config = config or infer_config(obj)
+    return convert_state_dict(obj, config), config

@@ -138,8 +138,17 @@ def run_augment(cfg: AugmentConfig) -> AugmentResult:
             n_in += 1
             key = jax.random.fold_in(base_key, idx)
             ext = img_path.suffix.lower()
+            jpeg_out = ext in (".jpg", ".jpeg")
             for suffix, out_arr in augment_array(arr, cfg, key):
-                Image.fromarray(out_arr).save(
-                    dst_dir / f"{img_path.stem}_{suffix}{ext}")
-                n_out += 1
+                try:
+                    img = Image.fromarray(out_arr)
+                    if jpeg_out:
+                        # JPEG has no alpha; composite like the visual
+                        # result (augment inputs are normally RGBA PNGs,
+                        # but crops feed through as JPEGs too).
+                        img = img.convert("RGB")
+                    img.save(dst_dir / f"{img_path.stem}_{suffix}{ext}")
+                    n_out += 1
+                except Exception:
+                    n_fail += 1
     return AugmentResult(n_inputs=n_in, n_written=n_out, n_failed=n_fail)

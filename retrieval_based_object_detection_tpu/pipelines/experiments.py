@@ -168,7 +168,6 @@ def run_experiments(
             for dtype, (dvecs, _, _) in for_case.items()
         }
 
-        counted: set[str] = set()
         for i, (img_path, cls, _) in enumerate(test_meta):
             # The reference counts each test image once per case loop
             # (33:104-111) — i.e. once per case in which it has a vector.

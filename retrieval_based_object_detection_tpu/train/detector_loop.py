@@ -92,15 +92,28 @@ def fit_detector(
         shuffled = [entries[i] for i in order]
         full = shuffled[: len(shuffled) - len(shuffled) % cfg.batch_size]
         loader = PrefetchIterator(batched(full, cfg.batch_size), prepare)
+        n_fill = 0
         try:
             for imgs, boxes, valid in loader:
-                if len(imgs) < cfg.batch_size:
+                if not imgs:
                     continue
+                # Decode failures shrink the batch; refill by cycling the
+                # good samples so the static-shape step never drops the
+                # rest of the batch (counted + logged, not silent).
+                orig_n = len(imgs)
+                while len(imgs) < cfg.batch_size:
+                    j = (len(imgs) - orig_n) % orig_n
+                    imgs.append(imgs[j])
+                    boxes.append(boxes[j])
+                    valid.append(valid[j])
+                    n_fill += 1
                 params, opt_state, metrics = step(
                     params, opt_state, np.stack(imgs), np.stack(boxes),
                     np.stack(valid))
         finally:
             loader.close()
+        if n_fill:
+            log.event("refill", repeated_samples=n_fill)
         log.event("epoch", epoch=epoch,
                   loss=round(float(metrics["loss"]), 4),
                   n_pos=int(metrics["n_pos"]))
