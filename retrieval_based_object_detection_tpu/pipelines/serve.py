@@ -79,9 +79,53 @@ def detect_embed_classify(
             "class_id": cls, "similarity": best, "all_sims": sims}
 
 
+@partial(jax.jit, static_argnames=("clip_config", "margin_ratio"))
+def embed_classify_boxes(
+    clip_params,
+    images: jax.Array,        # [B, H, W, 3] 0..255
+    boxes: jax.Array,         # [B, 4] xyxy px (detector output, no margin)
+    delegates: jax.Array,     # [C, D]
+    clip_config: clip_model.CLIPVisionConfig = clip_model.VIT_B_32,
+    margin_ratio: float = 0.2,
+) -> dict[str, jax.Array]:
+    """Fused margin→crop→embed→classify for EXTERNAL detector boxes
+    (TinyDet or any boxes source); the saliency path lives in
+    detect_embed_classify."""
+    images = images.astype(jnp.float32)
+    B, H, W, _ = images.shape
+    bw = boxes[:, 2] - boxes[:, 0]
+    bh = boxes[:, 3] - boxes[:, 1]
+    mx = jnp.floor(bw * margin_ratio)
+    my = jnp.floor(bh * margin_ratio)
+    expanded = jnp.stack([
+        jnp.clip(boxes[:, 0] - mx, 0, W),
+        jnp.clip(boxes[:, 1] - my, 0, H),
+        jnp.clip(boxes[:, 2] + mx, 0, W),
+        jnp.clip(boxes[:, 3] + my, 0, H),
+    ], axis=1)
+    crops = crop_resize_batch(images, expanded,
+                              out_size=clip_config.image_size)
+    crops = jnp.clip(crops / 255.0, 0.0, 1.0)
+    crops = (crops - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+    emb = clip_model.encode_image(clip_params, crops, clip_config,
+                                  compute_dtype=jnp.bfloat16)
+    emb = emb / jnp.maximum(
+        jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+    dn = delegates / jnp.maximum(
+        jnp.linalg.norm(delegates, axis=-1, keepdims=True), 1e-12)
+    sims = jnp.dot(emb, dn.T, preferred_element_type=jnp.float32)
+    return {"boxes": expanded, "class_id": jnp.argmax(sims, axis=1),
+            "similarity": jnp.max(sims, axis=1), "all_sims": sims}
+
+
 @dataclasses.dataclass
 class RetrievalDetector:
-    """Serving wrapper: gallery delegates + CLIP params → detections."""
+    """Serving wrapper: gallery delegates + CLIP params → detections.
+
+    ``detector=None`` uses the fully-fused saliency path; passing a
+    detector callable (e.g. ``train.detector_loop.TinyDetDetector``)
+    routes its best box through the fused margin→embed→classify stage.
+    """
 
     clip_params: dict
     gallery: Gallery
@@ -89,6 +133,7 @@ class RetrievalDetector:
     delegate_type: str = "average"
     case: str = "pre_a"
     data_type: str = "original_images"
+    detector: object = None
 
     def __post_init__(self):
         flt = (
@@ -108,11 +153,22 @@ class RetrievalDetector:
 
     def detect(self, images: np.ndarray) -> list[dict]:
         """[B, H, W, 3] uint8 (uniform size) → per-image detection dicts."""
-        out = detect_embed_classify(
-            self.clip_params, jnp.asarray(images), self._delegates,
-            self.clip_config)
+        if self.detector is None:
+            out = detect_embed_classify(
+                self.clip_params, jnp.asarray(images), self._delegates,
+                self.clip_config)
+            conf = np.asarray(out["confidence"])
+        else:
+            det_boxes, det_scores = self.detector(images)
+            best = np.argmax(det_scores, axis=1)
+            top_boxes = np.take_along_axis(
+                det_boxes, best[:, None, None].repeat(4, 2), axis=1)[:, 0]
+            conf = np.take_along_axis(det_scores, best[:, None], axis=1)[:, 0]
+            out = embed_classify_boxes(
+                self.clip_params, jnp.asarray(images),
+                jnp.asarray(top_boxes, jnp.float32), self._delegates,
+                self.clip_config)
         boxes = np.asarray(out["boxes"])
-        conf = np.asarray(out["confidence"])
         cls = np.asarray(out["class_id"])
         sim = np.asarray(out["similarity"])
         return [

@@ -106,3 +106,27 @@ def test_http_endpoint(detector):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_detect_with_external_detector(detector):
+    """TinyDet-style detector boxes route through the fused classify path."""
+    rng = np.random.default_rng(11)
+    red = product_photo((210, 40, 40), rng)
+
+    class FakeDet:
+        def __call__(self, images):
+            B = images.shape[0]
+            boxes = np.tile(np.array([[50.0, 40.0, 150.0, 120.0]]),
+                            (B, 2, 1))
+            scores = np.tile(np.array([[0.9, 0.3]]), (B, 1))
+            return boxes, scores
+
+    import dataclasses as dc
+
+    det2 = dc.replace(detector, detector=FakeDet())
+    det2.__post_init__()
+    out = det2.detect(red[None])[0]
+    assert out["class_name"] == "red"
+    assert out["confidence"] == pytest.approx(0.9)
+    # Margin applied to the external box: 100x80 box + 20% -> (30,24)-(170,136)
+    assert out["box"] == pytest.approx([30.0, 24.0, 170.0, 136.0])
