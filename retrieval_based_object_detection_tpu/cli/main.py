@@ -191,6 +191,50 @@ def cmd_review(args) -> int:
     return 0
 
 
+def cmd_review_web(args) -> int:
+    """Browser-based label review (the 12_* workflow, headless-friendly)."""
+    from retrieval_based_object_detection_tpu.models.detector import (
+        SaliencyProposer,
+    )
+    from retrieval_based_object_detection_tpu.pipelines import review_web
+    from retrieval_based_object_detection_tpu.pipelines.review import (
+        ReviewConfig,
+        ReviewSession,
+    )
+
+    session = ReviewSession(
+        ReviewConfig(root_dir=args.root, img_type=args.type,
+                     classes=args.classes, manual_dir=args.manual_dir),
+        detector=SaliencyProposer())
+    srv = review_web.serve(session, host=args.host, port=args.port)
+    print(f"label review UI on http://{args.host}:{srv.server_address[1]} "
+          f"({len(session.items)} labeled images)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+def cmd_segment_web(args) -> int:
+    """Browser-based click-to-segment (the 22m workflow, gradio-free)."""
+    from retrieval_based_object_detection_tpu.pipelines import segment_web
+    from retrieval_based_object_detection_tpu.pipelines.segment import (
+        ManualSegmentSession,
+    )
+
+    session = ManualSegmentSession(_make_sam(args), args.dir,
+                                   only_unprocessed=not args.all)
+    srv = segment_web.serve(session, host=args.host, port=args.port)
+    print(f"segmentation UI on http://{args.host}:{srv.server_address[1]} "
+          f"({len(session.items)} images)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def cmd_restore(args) -> int:
     from retrieval_based_object_detection_tpu.pipelines.review import (
         restore_manual_labeled,
@@ -330,6 +374,23 @@ def cmd_experiments(args) -> int:
     print("class usage:")
     for cls, n in sorted(out.class_image_count.items()):
         print(f"  - {cls}: {n}")
+    return 0
+
+
+def cmd_gallery_server(args) -> int:
+    """Standalone gallery service (the Qdrant role, port 6333)."""
+    from retrieval_based_object_detection_tpu.gallery.server import serve
+
+    srv = serve(args.store, host=args.host, port=args.port)
+    print(f"gallery service on http://{args.host}:{srv.server_address[1]} "
+          f"(store: {args.store})")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.service.snapshot()
+        print("snapshotted on shutdown")
     return 0
 
 
@@ -544,6 +605,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--box", type=int, default=0)
     sp.add_argument("--out")
 
+    sp = add("review-web", cmd_review_web,
+             help="browser label review UI (12)")
+    sp.add_argument("--root", default="dataset_jpeg")
+    sp.add_argument("--type", default="original")
+    sp.add_argument("--classes", nargs="*", default=None)
+    sp.add_argument("--manual-dir", default="dataset_manual")
+    sp.add_argument("--host", default="0.0.0.0")
+    sp.add_argument("--port", type=int, default=7891)
+
+    sp = add("segment-web", cmd_segment_web,
+             help="browser click-to-segment UI (22m, port 7890)")
+    sp.add_argument("--dir", required=True)
+    sp.add_argument("--all", action="store_true")
+    sp.add_argument("--sam-checkpoint")
+    sp.add_argument("--host", default="0.0.0.0")
+    sp.add_argument("--port", type=int, default=7890)
+
     sp = add("restore", cmd_restore, help="restore quarantined images (13)")
     sp.add_argument("--manual-dir", default="dataset_manual")
     sp.add_argument("--dst", default="dataset_jpeg")
@@ -607,6 +685,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--results-dir", default="results")
     sp.add_argument("--match-mode", default="same_class",
                     choices=("same_class", "nearest"))
+
+    sp = add("gallery-server", cmd_gallery_server,
+             help="standalone gallery HTTP service (the Qdrant role)")
+    sp.add_argument("--store", default="gallery_store")
+    sp.add_argument("--host", default="0.0.0.0")
+    sp.add_argument("--port", type=int, default=6333)
 
     sp = add("convert-weights", cmd_convert_weights,
              help="torch checkpoint -> orbax dir (clip or sam)")

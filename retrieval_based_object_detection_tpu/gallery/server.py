@@ -1,0 +1,219 @@
+"""Gallery HTTP server — the standalone vector-service role Qdrant played.
+
+The reference ran Qdrant as a Docker service on port 6333 and every stage
+talked to it over HTTP (02_qdrant_environment_setting.txt:1-8). Most
+deployments of this framework embed the gallery in-process (no server
+needed), but for multi-process setups this module serves the same
+operation set over a minimal JSON/HTTP API:
+
+  GET    /collections                         list [name, count]
+  PUT    /collections/<name>                  create {dim, distance, force?}
+  DELETE /collections/<name>
+  POST   /collections/<name>/rename           {new_name}
+  GET    /collections/<name>/count            ?filter json (optional)
+  POST   /collections/<name>/points           upsert {ids, vectors, payloads}
+  POST   /collections/<name>/points/scroll    {filter?, limit?, offset?,
+                                               with_vectors?}
+  POST   /collections/<name>/points/search    {queries, k?, filter?, method?}
+  POST   /collections/<name>/points/delete    {ids?, filter?}
+  POST   /snapshot                            persist all collections
+
+All writes hold a lock; the store snapshots to ``root`` on /snapshot and
+on clean shutdown. Filters are the schema's ``{field: value}`` maps.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+from retrieval_based_object_detection_tpu.gallery.schema import Filter
+from retrieval_based_object_detection_tpu.gallery.store import VectorStore
+
+
+def _filter_from(body: dict) -> Filter | None:
+    flt = body.get("filter")
+    return Filter(must=flt) if flt else None
+
+
+class GalleryService:
+    """Lock-guarded operations over a persistent VectorStore."""
+
+    def __init__(self, root: str | Path):
+        from retrieval_based_object_detection_tpu.gallery.persist import (
+            load_store,
+            save_store,
+        )
+
+        self.root = Path(root)
+        self._save = save_store
+        self.store: VectorStore = load_store(self.root)
+        self.lock = threading.RLock()
+
+    def snapshot(self) -> dict:
+        with self.lock:
+            self._save(self.store, self.root)
+            return {"saved": [n for n, _ in self.store.list_collections()]}
+
+    # ------------------------------------------------------------ ops
+    def list_collections(self):
+        with self.lock:
+            return [{"name": n, "count": c}
+                    for n, c in self.store.list_collections()]
+
+    def create(self, name: str, body: dict):
+        with self.lock:
+            if name in self.store and not body.get("force"):
+                raise KeyError(f"collection exists: {name}")
+            self.store.create_collection(
+                name, dim=int(body.get("dim", 512)),
+                distance=body.get("distance", "cosine"))
+            return {"created": name}
+
+    def delete_collection(self, name: str):
+        with self.lock:
+            self.store.delete_collection(name)
+            return {"deleted": name}
+
+    def rename(self, name: str, body: dict):
+        with self.lock:
+            self.store.rename_collection(name, body["new_name"])
+            return {"renamed": [name, body["new_name"]]}
+
+    def count(self, name: str, body: dict):
+        with self.lock:
+            return {"count": self.store.get(name).count(_filter_from(body))}
+
+    def upsert(self, name: str, body: dict):
+        with self.lock:
+            g = self.store.get(name)
+            n = g.upsert(body["ids"],
+                         np.asarray(body["vectors"], np.float32),
+                         body["payloads"])
+            return {"upserted": n}
+
+    def scroll(self, name: str, body: dict):
+        with self.lock:
+            recs, next_offset = self.store.get(name).scroll(
+                _filter_from(body),
+                limit=int(body.get("limit", 10)),
+                offset=int(body.get("offset", 0)),
+                with_vectors=bool(body.get("with_vectors", False)))
+            return {
+                "points": [
+                    {"id": r.id, "payload": r.payload.to_dict(),
+                     **({"vector": r.vector.tolist()}
+                        if r.vector is not None else {})}
+                    for r in recs
+                ],
+                "next_offset": next_offset,
+            }
+
+    def search(self, name: str, body: dict):
+        with self.lock:
+            results = self.store.get(name).search(
+                np.asarray(body["queries"], np.float32),
+                k=int(body.get("k", 10)),
+                flt=_filter_from(body),
+                method=body.get("method", "exact"))
+            return {"results": [
+                [{"id": h.id, "score": h.score,
+                  "payload": h.payload.to_dict()} for h in hits]
+                for hits in results
+            ]}
+
+    def delete_points(self, name: str, body: dict):
+        with self.lock:
+            n = self.store.get(name).delete(
+                ids=body.get("ids"), flt=_filter_from(body))
+            return {"deleted": n}
+
+
+def make_handler(svc: GalleryService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self) -> dict:
+            length = int(self.headers.get("Content-Length") or 0)
+            if not length:
+                return {}
+            return json.loads(self.rfile.read(length))
+
+        def _route(self, method: str):
+            parts = [p for p in self.path.split("?")[0].split("/") if p]
+            try:
+                body = self._body()
+            except json.JSONDecodeError:
+                return self._json({"error": "bad json"}, 400)
+            try:
+                if parts == ["collections"] and method == "GET":
+                    return self._json(svc.list_collections())
+                if parts == ["snapshot"] and method == "POST":
+                    return self._json(svc.snapshot())
+                if len(parts) == 2 and parts[0] == "collections":
+                    name = parts[1]
+                    if method == "PUT":
+                        return self._json(svc.create(name, body))
+                    if method == "DELETE":
+                        return self._json(svc.delete_collection(name))
+                if len(parts) == 3 and parts[0] == "collections":
+                    name, op = parts[1], parts[2]
+                    if op == "rename" and method == "POST":
+                        return self._json(svc.rename(name, body))
+                    if op == "count" and method == "GET":
+                        return self._json(svc.count(name, body))
+                    if op == "points" and method == "POST":
+                        return self._json(svc.upsert(name, body))
+                if len(parts) == 4 and parts[0] == "collections" \
+                        and parts[2] == "points" and method == "POST":
+                    name, op = parts[1], parts[3]
+                    if op == "scroll":
+                        return self._json(svc.scroll(name, body))
+                    if op == "search":
+                        return self._json(svc.search(name, body))
+                    if op == "delete":
+                        return self._json(svc.delete_points(name, body))
+                return self._json({"error": "not found"}, 404)
+            except KeyError as e:
+                return self._json({"error": str(e)}, 404 if "exists"
+                                  not in str(e) else 409)
+            except (ValueError, TypeError) as e:
+                return self._json({"error": str(e)}, 400)
+
+        def do_GET(self):
+            self._route("GET")
+
+        def do_POST(self):
+            self._route("POST")
+
+        def do_PUT(self):
+            self._route("PUT")
+
+        def do_DELETE(self):
+            self._route("DELETE")
+
+    return Handler
+
+
+def serve(root: str | Path, host: str = "0.0.0.0", port: int = 6333
+          ) -> ThreadingHTTPServer:
+    """Start the gallery service (port 6333 mirrors Qdrant's). Returns the
+    server; the caller runs serve_forever and calls service.snapshot() on
+    shutdown."""
+    svc = GalleryService(root)
+    server = ThreadingHTTPServer((host, port), make_handler(svc))
+    server.service = svc
+    return server

@@ -1,0 +1,103 @@
+"""Gallery HTTP service: the Qdrant-role server, driven over the wire."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from retrieval_based_object_detection_tpu.gallery import server as GS
+
+
+@pytest.fixture
+def server(tmp_path):
+    srv = GS.serve(tmp_path / "store", host="127.0.0.1", port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", tmp_path / "store"
+    srv.shutdown()
+
+
+def call(method, url, body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_full_lifecycle(server, rng):
+    base, root = server
+    # create + list
+    assert call("PUT", f"{base}/collections/prod", {"dim": 8})[0] == 200
+    status, cols = call("GET", f"{base}/collections")
+    assert cols == [{"name": "prod", "count": 0}]
+
+    # upsert
+    vecs = rng.normal(size=(5, 8)).astype(np.float32)
+    payloads = [{"data_type": "original_images", "class_name": "a",
+                 "img_path": f"/p{i}.png"} for i in range(5)]
+    status, res = call("POST", f"{base}/collections/prod/points",
+                       {"ids": [f"i{j}" for j in range(5)],
+                        "vectors": vecs.tolist(), "payloads": payloads})
+    assert res == {"upserted": 5}
+
+    # count with filter
+    status, res = call("GET", f"{base}/collections/prod/count",
+                       {"filter": {"class_name": "a"}})
+    assert res["count"] == 5
+
+    # scroll with vectors
+    status, res = call("POST", f"{base}/collections/prod/points/scroll",
+                       {"limit": 2, "with_vectors": True})
+    assert len(res["points"]) == 2 and res["next_offset"] == 2
+    np.testing.assert_allclose(res["points"][0]["vector"], vecs[0],
+                               rtol=1e-6)
+
+    # search
+    status, res = call("POST", f"{base}/collections/prod/points/search",
+                       {"queries": [vecs[3].tolist()], "k": 2})
+    assert res["results"][0][0]["id"] == "i3"
+    assert res["results"][0][0]["score"] > 0.999
+
+    # delete by filter
+    status, res = call("POST", f"{base}/collections/prod/points/delete",
+                       {"filter": {"img_path": "/p0.png"}})
+    assert res == {"deleted": 1}
+
+    # snapshot persists across a service restart
+    assert call("POST", f"{base}/snapshot")[1] == {"saved": ["prod"]}
+    svc2 = GS.GalleryService(root)
+    assert svc2.store.get("prod").count() == 4
+
+    # rename + delete collection
+    call("POST", f"{base}/collections/prod/rename", {"new_name": "prod2"})
+    status, cols = call("GET", f"{base}/collections")
+    assert cols[0]["name"] == "prod2"
+    assert call("DELETE", f"{base}/collections/prod2")[0] == 200
+    assert call("GET", f"{base}/collections")[1] == []
+
+
+def test_error_paths(server):
+    base, _ = server
+    assert call("PUT", f"{base}/collections/x", {"dim": 4})[0] == 200
+    # duplicate create without force → 409
+    code, res = call("PUT", f"{base}/collections/x", {"dim": 4})
+    assert code == 409
+    # unknown collection → 404
+    code, res = call("GET", f"{base}/collections/nope/count")
+    assert code == 404
+    # malformed body → 400
+    req = urllib.request.Request(f"{base}/collections/x/points",
+                                 data=b"not json", method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=10)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    # bad route → 404
+    assert call("GET", f"{base}/bogus")[0] == 404
