@@ -10,6 +10,9 @@ merged [T, W] output — zero transposes, zero HBM round-trips.
 
 Per-head work is [T, D] @ [D, T] → softmax → [T, T] @ [T, D] with static
 64-aligned lane slices of the qkv block (T=50, D=64 for ViT-B/32).
+
+Inference-only: no VJP is defined, so training paths must keep
+``fused_attention=False`` (train.loss_fn pins this explicitly).
 """
 
 from __future__ import annotations

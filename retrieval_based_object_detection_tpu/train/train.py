@@ -64,7 +64,13 @@ def make_optimizer(cfg: TrainConfig):
 
 def loss_fn(params, images, labels, clip_config, cfg: TrainConfig):
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    encode = clip_model.encode_image
+
+    def encode(tower, x, config, dt):
+        # fused_attention must stay OFF under autodiff: the Pallas
+        # attention-core kernel defines no VJP (inference-only fast path).
+        return clip_model.encode_image(tower, x, config, dt,
+                                       fused_attention=False)
+
     if cfg.remat:
         encode = jax.checkpoint(
             encode, static_argnums=(2, 3),
