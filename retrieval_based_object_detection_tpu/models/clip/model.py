@@ -192,13 +192,16 @@ def encode_image(
     x = images.astype(compute_dtype)
     kernel = params["conv_kernel"].astype(compute_dtype)
     # Patchify: 32x32 stride-32 conv == one big matmul per patch grid.
+    # preferred_element_type matches the compute dtype: the MXU still
+    # accumulates in f32 internally, and a f32 output here breaks the
+    # conv VJP under bf16 training (mixed-dtype cotangent TypeError).
     x = jax.lax.conv_general_dilated(
         x, kernel,
         window_strides=(config.patch_size, config.patch_size),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(compute_dtype)
+        preferred_element_type=compute_dtype,
+    )
     B = x.shape[0]
     x = x.reshape(B, config.grid * config.grid, config.width)
     cls = jnp.broadcast_to(

@@ -128,12 +128,16 @@ def convert_state_dict(sd: Mapping[str, object],
             sd, "mask_decoder.transformer.final_attn_token_to_image"),
         "final_ln_s": _np(sd["mask_decoder.transformer.norm_final_attn.weight"]),
         "final_ln_b": _np(sd["mask_decoder.transformer.norm_final_attn.bias"]),
+        # ConvTranspose2d: torch [in, out, kH, kW] → HWIO, PLUS a spatial
+        # flip — jax.lax.conv_transpose does NOT reverse kernel spatial
+        # dims (transpose_kernel=False default) while torch's op is the
+        # gradient-derived (flipped) form.
         "up0": _np(sd["mask_decoder.output_upscaling.0.weight"]
-                   ).transpose(2, 3, 0, 1),
+                   ).transpose(2, 3, 0, 1)[::-1, ::-1],
         "up_ln_s": _np(sd["mask_decoder.output_upscaling.1.weight"]),
         "up_ln_b": _np(sd["mask_decoder.output_upscaling.1.bias"]),
         "up1": _np(sd["mask_decoder.output_upscaling.3.weight"]
-                   ).transpose(2, 3, 0, 1),
+                   ).transpose(2, 3, 0, 1)[::-1, ::-1],
         "hyper_mlps": [],
         "iou_mlp": [],
         "_unused": {},

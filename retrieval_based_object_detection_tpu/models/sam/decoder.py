@@ -49,7 +49,7 @@ def init_params(cfg: DecoderConfig, seed: int = 0) -> Params:
 
     inner = d // cfg.downsample_rate
 
-    def twoway_block(skip_first_pe: bool):
+    def twoway_block():
         return {
             "self_attn": attn(d, d),
             "ln1_s": np.ones(d, np.float32), "ln1_b": np.zeros(d, np.float32),
@@ -76,7 +76,7 @@ def init_params(cfg: DecoderConfig, seed: int = 0) -> Params:
         "iou_token": rng.normal(0, 0.02, (d,)).astype(np.float32),
         "mask_tokens": rng.normal(0, 0.02, (cfg.num_mask_tokens, d)
                                   ).astype(np.float32),
-        "blocks": [twoway_block(i == 0) for i in range(cfg.depth)],
+        "blocks": [twoway_block() for i in range(cfg.depth)],
         "final_t2i": attn(d, inner),
         "final_ln_s": np.ones(d, np.float32),
         "final_ln_b": np.zeros(d, np.float32),
@@ -186,24 +186,27 @@ def decode_masks(
             # No residual in the first self-attn (segment-anything replaces
             # the queries outright when skip_first_layer_pe is set).
             q = _ln(_mha(q, q, q, blk["self_attn"], cfg.heads),
-                    blk["ln1_s"], blk["ln1_b"])
+                    blk["ln1_s"], blk["ln1_b"], eps=1e-5)
         else:
             q = _ln(q + _mha(q + tok_pe, q + tok_pe, q, blk["self_attn"],
-                             cfg.heads), blk["ln1_s"], blk["ln1_b"])
+                             cfg.heads), blk["ln1_s"], blk["ln1_b"],
+                    eps=1e-5)
         # Tokens attend to image.
         q = _ln(q + _mha(q + tok_pe, src + img_pe, src, blk["cross_t2i"],
-                         cfg.heads), blk["ln2_s"], blk["ln2_b"])
+                         cfg.heads), blk["ln2_s"], blk["ln2_b"], eps=1e-5)
         # MLP.
         h = _linear(q, blk["fc1"])
         h = jax.nn.relu(h)
-        q = _ln(q + _linear(h, blk["fc2"]), blk["ln3_s"], blk["ln3_b"])
+        q = _ln(q + _linear(h, blk["fc2"]), blk["ln3_s"], blk["ln3_b"],
+                eps=1e-5)
         # Image attends to tokens.
         src = _ln(src + _mha(src + img_pe, q + tok_pe, q, blk["cross_i2t"],
-                             cfg.heads), blk["ln4_s"], blk["ln4_b"])
+                             cfg.heads), blk["ln4_s"], blk["ln4_b"],
+                  eps=1e-5)
 
     q = q + _mha(q + tok_pe, src + img_pe, src, params["final_t2i"],
                  cfg.heads)
-    q = _ln(q, params["final_ln_s"], params["final_ln_b"])
+    q = _ln(q, params["final_ln_s"], params["final_ln_b"], eps=1e-5)
 
     iou_tok = q[:, 0]
     mask_toks = q[:, 1:1 + cfg.num_mask_tokens]
@@ -214,11 +217,11 @@ def decode_masks(
         feat, params["up0"], (2, 2), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     feat = _ln(feat, params["up_ln_s"], params["up_ln_b"])
-    feat = jax.nn.gelu(feat)
+    feat = jax.nn.gelu(feat, approximate=False)
     feat = jax.lax.conv_transpose(
         feat, params["up1"], (2, 2), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    feat = jax.nn.gelu(feat)  # [B, 4g, 4g, d/8]
+    feat = jax.nn.gelu(feat, approximate=False)  # [B, 4g, 4g, d/8]
 
     # Hypernetwork per mask token → dot with upscaled features.
     outs = []

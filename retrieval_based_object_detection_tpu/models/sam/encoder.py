@@ -138,7 +138,12 @@ def _attention(x: jax.Array, blk: Params, heads: int,
         )
 
         T = H * W
-        block_k = W * max(1, min(H, 512 // W))
+        # rows-per-tile must DIVIDE the grid height (flash kernel needs
+        # T % block_k == 0); pick the largest divisor within budget.
+        budget = max(1, 512 // W)
+        rpt = max(d for d in range(1, H + 1)
+                  if H % d == 0 and d <= budget)
+        block_k = W * rpt
         block_q = min(256, T)
         out = flash_attention_2d_bias(
             q, k, v,
@@ -197,7 +202,7 @@ def _block_forward(x, blk, heads: int, window: int,
     h = _ln(x, blk["ln2_s"], blk["ln2_b"])
     h = (jnp.dot(h, blk["fc1"]["w"], preferred_element_type=jnp.float32)
          + blk["fc1"]["b"])
-    h = jax.nn.gelu(h).astype(x.dtype)
+    h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
     h = (jnp.dot(h, blk["fc2"]["w"], preferred_element_type=jnp.float32)
          + blk["fc2"]["b"]).astype(x.dtype)
     return x + h

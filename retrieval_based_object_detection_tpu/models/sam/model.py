@@ -114,8 +114,10 @@ class SamPredictor:
         S = self.config.img_size
         # Map original pixels → padded-square normalised coords.
         pts = np.asarray(point_coords, np.float32)
-        pts = np.stack([pts[:, 0] * (nw / ow) / S,
-                        pts[:, 1] * (nh / oh) / S], axis=1)
+        # +0.5 pixel-center shift matches segment-anything's prompt
+        # encoder (and our grid_pe's cell-center convention).
+        pts = np.stack([(pts[:, 0] * (nw / ow) + 0.5) / S,
+                        (pts[:, 1] * (nh / oh) + 0.5) / S], axis=1)
         masks, iou = _decode(
             self.params["decoder"], self._embedding,
             jnp.asarray(pts)[None], jnp.asarray(point_labels)[None],

@@ -61,7 +61,7 @@ def compute_weighted_average(
     mean_vec = compute_average(vectors, mask)
     w = jnp.exp(-alpha * jnp.linalg.norm(vectors - mean_vec[None, :], axis=1))
     w = jnp.where(mask, w, 0.0)
-    w = w / jnp.sum(w)
+    w = w / jnp.maximum(jnp.sum(w), 1e-12)  # all-masked input → zeros, not NaN
     return jnp.sum(vectors * w[:, None], axis=0)
 
 
@@ -102,7 +102,8 @@ def compute_all_delegates(
 
     w = jnp.exp(-alpha * dist_to_mean)
     w = jnp.where(mask, w, 0.0)
-    weighted = jnp.sum(vectors * (w / jnp.sum(w))[:, None], axis=0)
+    weighted = jnp.sum(
+        vectors * (w / jnp.maximum(jnp.sum(w), 1e-12))[:, None], axis=0)
 
     d = pairwise_l2(vectors)
     d = jnp.where(mask[None, :], d, 0.0)

@@ -122,9 +122,11 @@ def gaussian_noise(images: jax.Array, amount: float | jax.Array,
 
 
 def _gaussian_kernel(radius: int) -> jnp.ndarray:
-    """PIL-style gaussian: sigma ~ radius/2 truncated at the radius."""
-    sigma = max(radius / 2.0, 1e-6)
-    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    """PIL semantics: GaussianBlur(radius) treats radius as the Gaussian
+    STANDARD DEVIATION; support extends to ~3 sigma."""
+    sigma = max(float(radius), 1e-6)
+    support = max(1, int(3 * radius))
+    x = jnp.arange(-support, support + 1, dtype=jnp.float32)
     k = jnp.exp(-0.5 * (x / sigma) ** 2)
     return k / jnp.sum(k)
 
@@ -140,7 +142,7 @@ def gaussian_blur(images: jax.Array, radius: int) -> jax.Array:
     k = _gaussian_kernel(radius)
     x = images.astype(jnp.float32)
     # Depthwise separable via conv over each axis; edge-pad like PIL.
-    pad = radius
+    pad = max(1, int(3 * radius))
     xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0)), mode="edge")
     xh = jax.vmap(  # convolve along H for each (b, w, c) line
         lambda col: jnp.convolve(col, k, mode="valid"),

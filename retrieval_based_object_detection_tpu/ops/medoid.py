@@ -20,8 +20,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _medoid_kernel(rows_ref, cols_ref, row_mask_ref, col_mask_ref, out_ref,
-                   *, block: int):
+def _medoid_kernel(rows_ref, cols_ref, row_mask_ref, col_mask_ref, out_ref):
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -31,6 +31,7 @@ def _medoid_kernel(rows_ref, cols_ref, row_mask_ref, col_mask_ref, out_ref,
     a = rows_ref[:]          # [bm, D]
     b = cols_ref[:]          # [bn, D]
     col_mask = col_mask_ref[:]   # [bn, 1]
+    bm, bn = a.shape[0], b.shape[0]
     sq_a = jnp.sum(a * a, axis=1, keepdims=True)        # [bm, 1]
     sq_b = jnp.sum(b * b, axis=1, keepdims=True)        # [bn, 1]
     gram = jax.lax.dot_general(
@@ -38,6 +39,11 @@ def _medoid_kernel(rows_ref, cols_ref, row_mask_ref, col_mask_ref, out_ref,
         preferred_element_type=jnp.float32,
     )
     d2 = jnp.maximum(sq_a + sq_b.T - 2.0 * gram, 0.0)
+    # Self-distances are exactly zero; the Gram trick leaves ~1e-6
+    # residuals that sqrt inflates (same fix as delegates.pairwise_l2).
+    row_ids = i * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
+    col_ids = j * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
+    d2 = jnp.where(row_ids == col_ids, 0.0, d2)
     d = jnp.sqrt(d2)
     d = d * (col_mask[:, 0][None, :])  # exclude padded/invalid columns
     out_ref[:] = out_ref[:] + jnp.sum(d, axis=1, keepdims=True)
@@ -56,9 +62,8 @@ def pairwise_distance_sums(
     n_blocks = N // block
     mask_f = mask.astype(jnp.float32)[:, None]
 
-    kernel = partial(_medoid_kernel, block=block)
     sums = pl.pallas_call(
-        kernel,
+        _medoid_kernel,
         grid=(n_blocks, n_blocks),
         in_specs=[
             pl.BlockSpec((block, D), lambda i, j: (i, 0),

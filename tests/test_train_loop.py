@@ -10,6 +10,7 @@ from retrieval_based_object_detection_tpu.models.clip.model import (
 from retrieval_based_object_detection_tpu.parallel import multihost as MH
 from retrieval_based_object_detection_tpu.parallel.mesh import make_mesh
 from retrieval_based_object_detection_tpu.train import loop as TL
+from retrieval_based_object_detection_tpu.train import train as T
 
 TINY = CLIPVisionConfig(image_size=32, patch_size=16, width=64, layers=1,
                         heads=1, embed_dim=16)
@@ -100,3 +101,17 @@ def test_initialize_noop_single_process():
     MH.initialize()  # must not raise without coordinator args
     pid, pcount = MH.process_info()
     assert pid == 0 and pcount == 1
+
+
+def test_train_step_bf16(rng):
+    """bf16 training path (the TPU default) must differentiate cleanly —
+    regression for the conv-VJP mixed-dtype TypeError found on hardware."""
+    mesh = make_mesh({"dp": 8})
+    cfg = T.TrainConfig(num_classes=3, compute_dtype="bfloat16", remat=True)
+    params, opt_state = T.init_state(TINY, cfg, seed=2)
+    params, opt_state = T.place(params, opt_state, mesh)
+    step = T.make_train_step(TINY, cfg, mesh)
+    images = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    labels = rng.integers(0, 3, size=(8,)).astype(np.int32)
+    _, _, metrics = step(params, opt_state, images, labels)
+    assert np.isfinite(float(metrics["loss"]))
