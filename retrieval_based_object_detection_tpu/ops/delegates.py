@@ -90,6 +90,24 @@ def compute_medoid(vectors: jax.Array, mask: jax.Array | None = None) -> jax.Arr
 
 
 @partial(jax.jit, static_argnames=("alpha",))
+def compute_partial_delegates(
+    vectors: jax.Array, mask: jax.Array | None = None, alpha: float = 2.0
+) -> dict[str, jax.Array]:
+    """average/centroid/weighted only — the O(n) strategies, for classes
+    too large to materialise the medoid's pairwise matrix (the blocked
+    kernel in ops.medoid covers medoid there)."""
+    vectors, mask, count = _masked(vectors, mask)
+    avg = jnp.sum(jnp.where(mask[:, None], vectors, 0.0), axis=0) / count
+    dist_to_mean = jnp.linalg.norm(vectors - avg[None, :], axis=1)
+    centroid = vectors[jnp.argmin(jnp.where(mask, dist_to_mean, _BIG))]
+    w = jnp.exp(-alpha * dist_to_mean)
+    w = jnp.where(mask, w, 0.0)
+    weighted = jnp.sum(
+        vectors * (w / jnp.maximum(jnp.sum(w), 1e-12))[:, None], axis=0)
+    return {"average": avg, "centroid": centroid, "weighted": weighted}
+
+
+@partial(jax.jit, static_argnames=("alpha",))
 def compute_all_delegates(
     vectors: jax.Array, mask: jax.Array | None = None, alpha: float = 2.0
 ) -> dict[str, jax.Array]:

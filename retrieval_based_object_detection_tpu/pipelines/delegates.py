@@ -23,6 +23,11 @@ from retrieval_based_object_detection_tpu.ops import delegates as D
 from retrieval_based_object_detection_tpu.utils.ids import delegate_id
 
 
+# Above this member count the dense [n, n] medoid matrix (n² · 4 bytes)
+# stops being worth materialising; the blocked kernel streams tiles.
+LARGE_CLASS_THRESHOLD = 8192
+
+
 @dataclasses.dataclass
 class DelegateBuildResult:
     # (class, case, data_type) -> number of member vectors used (0 = skipped)
@@ -104,7 +109,19 @@ def build_delegates(
                 mask = np.zeros(padded_n, bool)
                 mask[: members.shape[0]] = True
 
-                outs = D.compute_all_delegates(padded, mask, alpha=alpha)
+                if members.shape[0] > LARGE_CLASS_THRESHOLD:
+                    # Dense O(n²) pairwise would blow HBM; medoid goes
+                    # through the blocked Pallas kernel (SURVEY.md §7
+                    # hard part 5), the cheap reductions stay fused.
+                    outs = dict(D.compute_partial_delegates(
+                        padded, mask, alpha=alpha))
+                    from retrieval_based_object_detection_tpu.ops.medoid import (
+                        medoid_large,
+                    )
+
+                    outs["medoid"] = medoid_large(members)
+                else:
+                    outs = D.compute_all_delegates(padded, mask, alpha=alpha)
                 for dtype in D.DELEGATE_TYPES:
                     payload = Payload(
                         data_type=base.data_type,

@@ -97,3 +97,38 @@ def test_single_member_class(rng):
     out = D.compute_all_delegates(v)
     for k in D.DELEGATE_TYPES:
         np.testing.assert_allclose(np.asarray(out[k]), v[0], rtol=1e-5)
+
+
+def test_partial_delegates_match_full(rng):
+    import retrieval_based_object_detection_tpu.ops.delegates as D2
+
+    v = rng.normal(size=(50, 16)).astype(np.float32)
+    full = D2.compute_all_delegates(v)
+    part = D2.compute_partial_delegates(v)
+    for k in ("average", "centroid", "weighted"):
+        np.testing.assert_allclose(np.asarray(part[k]), np.asarray(full[k]),
+                                   rtol=1e-5)
+
+
+def test_large_class_path_in_pipeline(rng, monkeypatch):
+    """Classes above the threshold route medoid through the blocked kernel
+    and still produce all four delegates."""
+    from retrieval_based_object_detection_tpu.gallery.schema import Filter, Payload
+    from retrieval_based_object_detection_tpu.gallery.store import Gallery
+    from retrieval_based_object_detection_tpu.pipelines import delegates as dp
+
+    monkeypatch.setattr(dp, "LARGE_CLASS_THRESHOLD", 20)
+    g = Gallery("t", dim=16)
+    vecs = rng.normal(size=(40, 16)).astype(np.float32)
+    g.upsert([f"p{i}" for i in range(40)], vecs,
+             [Payload(data_type="original_images", class_name="big",
+                      img_path=f"/{i}.png") for i in range(40)])
+    res = dp.build_delegates(g)
+    assert res.n_delegates_written == 4
+    rec = g.scroll(Filter(must={"is_delegate": True,
+                                "delegate_type": "medoid"}),
+                   with_vectors=True, limit=1)[0][0]
+    ref = np.asarray(compute_medoid := __import__(
+        "retrieval_based_object_detection_tpu.ops.delegates",
+        fromlist=["compute_medoid"]).compute_medoid(vecs))
+    np.testing.assert_allclose(rec.vector, ref, rtol=1e-5)
