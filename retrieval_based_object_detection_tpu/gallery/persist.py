@@ -95,7 +95,7 @@ def load_store(root: str | Path) -> VectorStore:
     for name in names:
         try:
             store._collections[name] = load_gallery(name, root)
-        except (FileNotFoundError, OSError) as e:
+        except Exception as e:  # corrupt header/JSON/meta too
             # A manifest entry without its snapshot (crash between writes,
             # manual deletion): skip it rather than refuse the whole store.
             import sys

@@ -10,7 +10,8 @@ operation set over a minimal JSON/HTTP API:
   PUT    /collections/<name>                  create {dim, distance, force?}
   DELETE /collections/<name>
   POST   /collections/<name>/rename           {new_name}
-  GET    /collections/<name>/count            ?filter json (optional)
+  GET    /collections/<name>/count            ?filter=<urlencoded json>
+  POST   /collections/<name>/count            {filter?}
   POST   /collections/<name>/points           upsert {ids, vectors, payloads}
   POST   /collections/<name>/points/scroll    {filter?, limit?, offset?,
                                                with_vectors?}
@@ -153,11 +154,21 @@ def make_handler(svc: GalleryService):
             return json.loads(self.rfile.read(length))
 
         def _route(self, method: str):
-            parts = [p for p in self.path.split("?")[0].split("/") if p]
+            path, _, query = self.path.partition("?")
+            parts = [p for p in path.split("/") if p]
             try:
                 body = self._body()
             except json.JSONDecodeError:
                 return self._json({"error": "bad json"}, 400)
+            if query and "filter" not in body:
+                from urllib.parse import parse_qs, unquote
+
+                q = parse_qs(query)
+                if "filter" in q:
+                    try:
+                        body["filter"] = json.loads(unquote(q["filter"][0]))
+                    except json.JSONDecodeError:
+                        return self._json({"error": "bad filter json"}, 400)
             try:
                 if parts == ["collections"] and method == "GET":
                     return self._json(svc.list_collections())
@@ -173,7 +184,7 @@ def make_handler(svc: GalleryService):
                     name, op = parts[1], parts[2]
                     if op == "rename" and method == "POST":
                         return self._json(svc.rename(name, body))
-                    if op == "count" and method == "GET":
+                    if op == "count" and method in ("GET", "POST"):
                         return self._json(svc.count(name, body))
                     if op == "points" and method == "POST":
                         return self._json(svc.upsert(name, body))

@@ -94,6 +94,8 @@ class Gallery:
         payloads: Sequence[Payload | dict],
     ) -> int:
         """Insert-or-replace a batch of points; returns number written."""
+        if len(ids) == 0:
+            return 0
         vectors = np.asarray(vectors, dtype=np.float32)
         if vectors.ndim == 1:
             vectors = vectors[None, :]
@@ -212,6 +214,18 @@ class Gallery:
         ]
         next_offset = offset + limit if offset + limit < len(rows) else None
         return records, next_offset
+
+    def distinct(self, fieldname: str, flt: Filter | None = None
+                 ) -> list:
+        """Sorted distinct values of a dictionary-encoded field among rows
+        matching the filter — O(rows) on the codes column, no scrolling."""
+        cols = self._payloads
+        if fieldname not in cols._CODED:
+            raise KeyError(f"not a coded field: {fieldname}")
+        mask = cols.mask(flt)
+        codes = np.unique(cols._cols[fieldname][: self.count()][mask])
+        decode = cols._decode[fieldname]
+        return sorted(decode[c] for c in codes if c >= 0)
 
     def vectors_matching(self, flt: Filter | None = None) -> np.ndarray:
         """All vectors matching a filter as one [M, D] float32 array."""

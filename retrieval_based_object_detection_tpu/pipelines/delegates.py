@@ -46,14 +46,10 @@ def _pad_pow2(n: int, floor: int = 64) -> int:
 
 def list_classes(gallery: Gallery) -> list[str]:
     """Distinct non-delegate class names (32_create_delegate_vector.py:78-86),
-    straight from the payload columns instead of scrolling the collection."""
-    classes: set[str] = set()
-    recs, offset = gallery.scroll(
-        Filter(must={"is_delegate": False}), limit=100000
-    )
-    for r in recs:
-        classes.add(r.payload.class_name)
-    return sorted(classes)
+    straight from the dictionary-encoded payload column — O(rows), no
+    scroll limit to outgrow."""
+    return gallery.distinct("class_name",
+                            Filter(must={"is_delegate": False}))
 
 
 def build_delegates(

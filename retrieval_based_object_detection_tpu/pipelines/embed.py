@@ -34,8 +34,8 @@ class EmbedConfig:
     classes: list[str] | None = None  # None = all
     batch_size: int = 64
     image_size: int = 224  # must match the encoder's config.image_size
-    compute_dtype: str = "float32"  # "bfloat16" for throughput
-    exact: bool = True  # matmul precision HIGHEST for parity
+    # NB: numeric precision is the ENCODER's property — set it where the
+    # encoder is built (make_encoder(compute_dtype=..., exact=...)).
 
 
 @dataclasses.dataclass

@@ -55,7 +55,9 @@ class ExperimentConfig:
     cases: tuple[str, ...] = ("pre_a", "pre_b", "pre_c")
     delegate_types: tuple[str, ...] = DELEGATE_TYPES
     match_mode: str = "same_class"  # "same_class" | "nearest"
-    test_suffixes: tuple[str, ...] = (".png",)
+    # The reference globs only *.png (33:94) — which misses its own crop
+    # stage's .jpg outputs and makes TestGroup2 empty; we accept all three.
+    test_suffixes: tuple[str, ...] = (".png", ".jpg", ".jpeg")
 
 
 @dataclasses.dataclass

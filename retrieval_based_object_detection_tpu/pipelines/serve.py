@@ -48,50 +48,15 @@ def detect_embed_classify(
 
     score = saliency.saliency_map(images)
     boxes, conf = saliency.box_from_saliency(score)   # [B, 4], [B]
-
-    # The 21-stage margin rule, vectorised on device.
-    bw = boxes[:, 2] - boxes[:, 0]
-    bh = boxes[:, 3] - boxes[:, 1]
-    mx = jnp.floor(bw * margin_ratio)
-    my = jnp.floor(bh * margin_ratio)
-    expanded = jnp.stack([
-        jnp.clip(boxes[:, 0] - mx, 0, W),
-        jnp.clip(boxes[:, 1] - my, 0, H),
-        jnp.clip(boxes[:, 2] + mx, 0, W),
-        jnp.clip(boxes[:, 3] + my, 0, H),
-    ], axis=1)
-
-    crops = crop_resize_batch(images, expanded,
-                              out_size=clip_config.image_size)
-    crops = jnp.clip(crops / 255.0, 0.0, 1.0)
-    crops = (crops - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
-
-    emb = clip_model.encode_image(clip_params, crops, clip_config,
-                                  compute_dtype=jnp.bfloat16)
-    emb = emb / jnp.maximum(
-        jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
-    dn = delegates / jnp.maximum(
-        jnp.linalg.norm(delegates, axis=-1, keepdims=True), 1e-12)
-    sims = jnp.dot(emb, dn.T, preferred_element_type=jnp.float32)  # [B, C]
-    cls = jnp.argmax(sims, axis=1)
-    best = jnp.max(sims, axis=1)
-    return {"boxes": expanded, "confidence": conf,
-            "class_id": cls, "similarity": best, "all_sims": sims}
+    out = _margin_embed_classify(clip_params, images, boxes, delegates,
+                                 clip_config, margin_ratio)
+    return {**out, "confidence": conf}
 
 
-@partial(jax.jit, static_argnames=("clip_config", "margin_ratio"))
-def embed_classify_boxes(
-    clip_params,
-    images: jax.Array,        # [B, H, W, 3] 0..255
-    boxes: jax.Array,         # [B, 4] xyxy px (detector output, no margin)
-    delegates: jax.Array,     # [C, D]
-    clip_config: clip_model.CLIPVisionConfig = clip_model.VIT_B_32,
-    margin_ratio: float = 0.2,
-) -> dict[str, jax.Array]:
-    """Fused margin→crop→embed→classify for EXTERNAL detector boxes
-    (TinyDet or any boxes source); the saliency path lives in
-    detect_embed_classify."""
-    images = images.astype(jnp.float32)
+def _margin_embed_classify(clip_params, images, boxes, delegates,
+                           clip_config, margin_ratio):
+    """Shared fused stage: margin rule (21:89-95) → crop/resize → CLIP
+    normalise+encode → cosine vs delegates → argmax class."""
     B, H, W, _ = images.shape
     bw = boxes[:, 2] - boxes[:, 0]
     bh = boxes[:, 3] - boxes[:, 1]
@@ -116,6 +81,23 @@ def embed_classify_boxes(
     sims = jnp.dot(emb, dn.T, preferred_element_type=jnp.float32)
     return {"boxes": expanded, "class_id": jnp.argmax(sims, axis=1),
             "similarity": jnp.max(sims, axis=1), "all_sims": sims}
+
+
+@partial(jax.jit, static_argnames=("clip_config", "margin_ratio"))
+def embed_classify_boxes(
+    clip_params,
+    images: jax.Array,        # [B, H, W, 3] 0..255
+    boxes: jax.Array,         # [B, 4] xyxy px (detector output, no margin)
+    delegates: jax.Array,     # [C, D]
+    clip_config: clip_model.CLIPVisionConfig = clip_model.VIT_B_32,
+    margin_ratio: float = 0.2,
+) -> dict[str, jax.Array]:
+    """Fused margin→crop→embed→classify for EXTERNAL detector boxes
+    (TinyDet or any boxes source); the saliency path lives in
+    detect_embed_classify."""
+    return _margin_embed_classify(clip_params, images.astype(jnp.float32),
+                                  boxes, delegates, clip_config,
+                                  margin_ratio)
 
 
 @dataclasses.dataclass
@@ -183,12 +165,23 @@ class RetrievalDetector:
 
 
 def serve_http(detector: RetrievalDetector, host: str = "0.0.0.0",
-               port: int = 8080):
+               port: int = 8080, serving_size: int = 512):
     """POST /detect with image bytes → JSON detection. Returns the server
-    (call serve_forever)."""
+    (call serve_forever).
+
+    Uploads are letterboxed to one fixed ``serving_size`` square before
+    the jitted pipeline runs — otherwise every distinct upload resolution
+    retraces and recompiles the whole encoder and the jit cache grows
+    without bound in a long-lived service. Returned boxes are mapped back
+    to the original image's pixel coordinates.
+    """
     import io
     import json
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from retrieval_based_object_detection_tpu.pipelines.labeling import (
+        letterbox,
+    )
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
@@ -216,7 +209,13 @@ def serve_http(detector: RetrievalDetector, host: str = "0.0.0.0",
             except Exception:
                 self._json({"error": "not an image"}, 400)
                 return
-            det = detector.detect(arr[None])[0]
+            canvas, scale = letterbox(arr, serving_size)
+            det = detector.detect(canvas[None])[0]
+            det["box"] = [
+                float(np.clip(v / scale, 0,
+                              arr.shape[1] if i % 2 == 0 else arr.shape[0]))
+                for i, v in enumerate(det["box"])
+            ]
             self._json(det)
 
     return ThreadingHTTPServer((host, port), Handler)

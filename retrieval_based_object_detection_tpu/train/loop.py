@@ -104,10 +104,20 @@ def fit(
                 f"batch_size {cfg.batch_size} exceeds dataset size "
                 f"{len(shuffled)}")
         loader = PrefetchIterator(batched(full, cfg.batch_size), prepare)
+        n_fill = 0
         try:
             for imgs, labels in loader:
-                if len(imgs) < cfg.batch_size:
-                    continue  # decode failures broke the batch shape
+                if not imgs:
+                    continue
+                # Decode failures shrink the batch; refill by cycling the
+                # good samples (static shapes) instead of dropping the
+                # whole batch — counted and logged below.
+                orig_n = len(imgs)
+                while len(imgs) < cfg.batch_size:
+                    j = (len(imgs) - orig_n) % orig_n
+                    imgs.append(imgs[j])
+                    labels.append(labels[j])
+                    n_fill += 1
                 x = np.stack(imgs)
                 y = np.asarray(labels, np.int32)
                 state_params, opt_state, metrics = step_fn(
@@ -120,6 +130,12 @@ def fit(
                         "opt_state": jax.device_get(opt_state)})
         finally:
             loader.close()
+        if n_fill:
+            log.event("refill", repeated_samples=n_fill)
+        if not metrics:
+            raise ValueError(
+                "no trainable batches survived decoding — check the tree "
+                f"under {cfg.root_dir}")
         log.event("epoch", epoch=epoch,
                   loss=round(float(metrics["loss"]), 4),
                   accuracy=round(float(metrics["accuracy"]), 4),
