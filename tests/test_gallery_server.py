@@ -101,3 +101,22 @@ def test_error_paths(server):
         assert e.code == 400
     # bad route → 404
     assert call("GET", f"{base}/bogus")[0] == 404
+
+
+def test_count_filter_via_query_param(server, rng):
+    base, _ = server
+    call("PUT", f"{base}/collections/q", {"dim": 4})
+    vecs = rng.normal(size=(6, 4)).astype(np.float32)
+    call("POST", f"{base}/collections/q/points",
+         {"ids": [f"p{i}" for i in range(6)], "vectors": vecs.tolist(),
+          "payloads": [{"data_type": "x",
+                        "class_name": "a" if i < 2 else "b"}
+                       for i in range(6)]})
+    import urllib.parse
+
+    flt = urllib.parse.quote(json.dumps({"class_name": "a"}))
+    status, res = call("GET", f"{base}/collections/q/count?filter={flt}")
+    assert res["count"] == 2
+    status, res = call("POST", f"{base}/collections/q/count",
+                       {"filter": {"class_name": "b"}})
+    assert res["count"] == 4

@@ -130,3 +130,28 @@ def test_detect_with_external_detector(detector):
     assert out["confidence"] == pytest.approx(0.9)
     # Margin applied to the external box: 100x80 box + 20% -> (30,24)-(170,136)
     assert out["box"] == pytest.approx([30.0, 24.0, 170.0, 136.0])
+
+
+def test_http_letterbox_maps_boxes_back(detector):
+    """serve_http runs at one fixed resolution; boxes come back in the
+    ORIGINAL image's pixel coordinates."""
+    srv = SV.serve_http(detector, host="127.0.0.1", port=0, serving_size=256)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        rng = np.random.default_rng(21)
+        img = product_photo((210, 40, 40), rng)  # 160x200, object 50..150 x
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "PNG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.server_address[1]}/detect",
+            data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            det = json.loads(r.read())
+        x1, y1, x2, y2 = det["box"]
+        assert det["class_name"] == "red"
+        # Box in original coords (within margin slack), not canvas coords.
+        assert 10 <= x1 <= 55 and 140 <= x2 <= 200, det["box"]
+        assert 10 <= y1 <= 45 and 110 <= y2 <= 160, det["box"]
+    finally:
+        srv.shutdown()
