@@ -128,7 +128,5 @@ def test_large_class_path_in_pipeline(rng, monkeypatch):
     rec = g.scroll(Filter(must={"is_delegate": True,
                                 "delegate_type": "medoid"}),
                    with_vectors=True, limit=1)[0][0]
-    ref = np.asarray(compute_medoid := __import__(
-        "retrieval_based_object_detection_tpu.ops.delegates",
-        fromlist=["compute_medoid"]).compute_medoid(vecs))
+    ref = np.asarray(D.compute_medoid(vecs))
     np.testing.assert_allclose(rec.vector, ref, rtol=1e-5)
