@@ -327,11 +327,17 @@ def cmd_augment(args) -> int:
 def cmd_embed(args) -> int:
     from retrieval_based_object_detection_tpu.pipelines import embed as ep
 
+    params, config = _load_clip(args.clip_checkpoint)
     store = _store_load(args.store)
     if args.collection not in store:
-        store.create_collection(args.collection, dim=512)
+        # Collection dim follows the loaded tower (ViT-L/14 emits 768-d).
+        store.create_collection(args.collection, dim=config.embed_dim)
     gallery = store.get(args.collection)
-    params, config = _load_clip(args.clip_checkpoint)
+    if gallery.dim != config.embed_dim:
+        print(f"error: collection {args.collection!r} holds "
+              f"{gallery.dim}-d vectors but the loaded tower emits "
+              f"{config.embed_dim}-d", file=sys.stderr)
+        return 1
     encoder = ep.make_encoder(params, config,
                               compute_dtype=args.compute_dtype,
                               exact=not args.fast)
@@ -339,7 +345,8 @@ def cmd_embed(args) -> int:
 
     res = ep.embed_tree(gallery, encoder, ep.EmbedConfig(
         root_dir=args.root, img_type=args.type, classes=args.classes,
-        batch_size=args.batch_size), logger=StageLogger("embed"))
+        batch_size=args.batch_size, image_size=config.image_size),
+        logger=StageLogger("embed"))
     _store_save(store, args.store)
     print(f"embedded={res.total} failed={res.n_failed}")
     for cls, n in sorted(res.per_class_counts.items()):

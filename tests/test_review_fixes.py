@@ -135,3 +135,40 @@ def test_load_torch_checkpoint_infers_config(tmp_path, rng):
     params, config = load_torch_checkpoint(str(pt))
     assert config.image_size == 96 and config.embed_dim == 64
     assert params["positional_embedding"].shape[0] == config.seq_len
+
+
+def test_cli_embed_follows_checkpoint_config(tmp_path, monkeypatch, rng,
+                                             capsys):
+    """embed derives collection dim + preprocess size from the loaded
+    checkpoint config (regression: hardcoded 512/224 broke non-B/32)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from retrieval_based_object_detection_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    hf = transformers.CLIPVisionModelWithProjection(
+        transformers.CLIPVisionConfig(
+            hidden_size=128, intermediate_size=512, num_hidden_layers=2,
+            num_attention_heads=2, image_size=96, patch_size=16,
+            projection_dim=256))
+    torch.save(hf.state_dict(), "m.pt")
+    assert main(["convert-weights", "--model", "clip", "--input", "m.pt",
+                 "--output", "conv"]) == 0
+
+    d = tmp_path / "dataset_cropped" / "original_images" / "c"
+    d.mkdir(parents=True)
+    Image.fromarray(rng.integers(0, 255, (40, 50, 3), dtype=np.uint8)).save(
+        d / "i.png")
+    assert main(["embed", "--root", "dataset_cropped", "--type", "original",
+                 "--store", "gs", "--collection", "x",
+                 "--clip-checkpoint", "conv"]) == 0
+    assert load_store("gs").get("x").dim == 256
+
+    # Mismatched pre-existing collection → clean error.
+    assert main(["store", "create", "--name", "w512", "--store", "gs"]) == 0
+    rc = main(["embed", "--root", "dataset_cropped", "--type", "original",
+               "--store", "gs", "--collection", "w512",
+               "--clip-checkpoint", "conv"])
+    assert rc == 1
+    assert "256-d" in capsys.readouterr().err
