@@ -460,8 +460,21 @@ def cmd_serve(args) -> int:
 
 
 def cmd_e2e(args) -> int:
-    """One-shot pipeline: label → crop → segment → embed → delegates →
-    experiments → analyze on a raw labeled-or-unlabeled JPEG tree."""
+    """One-shot pipeline: [ingest →] label → crop → segment → augment →
+    embed → delegates → experiments → analyze on a raw
+    labeled-or-unlabeled image tree.
+
+    With ``--raw``, the HEIC/any→JPEG ingest stage (01) runs first into
+    ``--data``. The augment stage runs on the segmented ORIGINAL images
+    (the delegate source set, 23_augmentation.py) so the full 3-case ×
+    4-type experiment grid — including ``pre_c`` — is exercised; the
+    reference's own committed run lacked pre_c rows (BASELINE.md note)."""
+    if args.raw:
+        for t in ("original", "natural"):
+            rc = main(["ingest", "--src", args.raw, "--dst", args.data,
+                       "--type", t])
+            if rc:
+                return rc
     for t in ("original", "natural"):
         rc = main(["label", "--root", args.data, "--type", t]
                   + (["--overwrite"] if args.overwrite else []))
@@ -478,7 +491,15 @@ def cmd_e2e(args) -> int:
                      if args.sam_checkpoint else []))
         if rc:
             return rc
-        for root in (args.cropped, args.segmented):
+        # pre_c source: augmented variants of the segmented images. Both
+        # types are augmented (23_augmentation.py:20 offers either) —
+        # experiment delegates are pinned to the test images' data_type
+        # (33:117-137), so pre_c needs natural delegates too.
+        rc = main(["augment", "--src", args.segmented,
+                   "--dst", args.augmented, "--type", t])
+        if rc:
+            return rc
+        for root in (args.cropped, args.segmented, args.augmented):
             rc = main(["embed", "--root", root, "--type", t,
                        "--store", args.store, "--collection",
                        args.collection]
@@ -719,9 +740,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("e2e", cmd_e2e,
              help="full pipeline in one shot: label->crop->segment->embed->"
                   "delegates->experiments->analyze")
+    sp.add_argument("--raw", default=None,
+                    help="HEIC/any source tree; runs ingest (01) first")
     sp.add_argument("--data", default="dataset_jpeg")
     sp.add_argument("--cropped", default="dataset_cropped")
     sp.add_argument("--segmented", default="dataset_segmented")
+    sp.add_argument("--augmented", default="dataset_augmented")
     sp.add_argument("--store", default="gallery_store")
     sp.add_argument("--collection", default="default")
     sp.add_argument("--results-dir", default="results")

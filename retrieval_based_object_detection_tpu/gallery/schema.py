@@ -189,6 +189,34 @@ class PayloadColumns:
             self._path_index[payload.img_path] = row
         self.size = max(self.size, row + 1)
 
+    def set_rows(self, rows: np.ndarray, payloads: list[Payload]) -> None:
+        """Vectorised batch write: one fancy-indexed assignment per column
+        instead of a Python loop of per-row scalar stores (``rows`` must
+        not contain duplicates — Gallery.upsert dedupes to last-wins)."""
+        if len(rows) == 0:
+            return
+        max_row = int(rows.max())
+        # Path-index maintenance for overwritten rows.
+        for row in rows:
+            if row < self.size:
+                old = self._img_path[row]
+                if old is not None and self._path_index.get(old) == row:
+                    del self._path_index[old]
+        for f in self._CODED:
+            codes = np.fromiter(
+                (self._encode(f, getattr(p, f)) for p in payloads),
+                dtype=np.int32, count=len(payloads))
+            self._cols[f][rows] = codes
+        for f in BOOL_FIELDS:
+            vals = np.fromiter((getattr(p, f) for p in payloads),
+                               dtype=bool, count=len(payloads))
+            self._cols[f][rows] = vals
+        for row, p in zip(rows, payloads):
+            self._img_path[row] = p.img_path
+            if p.img_path:
+                self._path_index[p.img_path] = int(row)
+        self.size = max(self.size, max_row + 1)
+
     def get_row(self, row: int) -> Payload:
         kw: dict[str, Any] = {}
         for f in self._CODED:

@@ -95,6 +95,48 @@ def quantize_rows_int8(normalized_rows: jax.Array) -> jax.Array:
                     ).astype(jnp.int8)
 
 
+@partial(jax.jit, static_argnames=("k", "rescore", "tile_n", "interpret"))
+def int8_scan_topk(
+    queries: jax.Array,        # [Q, D] unnormalised f32
+    gallery_tiled: jax.Array,  # [n_tiles*D, tile_n] int8 tiled layout
+    gallery_f32: jax.Array,    # [N, D] normalised f32 (for exact rescoring)
+    mask: jax.Array,           # [N] bool
+    k: int,
+    rescore: int = 128,
+    tile_n: int = 4096,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Million-row serving scan: Pallas tiled int8 kernel (exact integer
+    scores via bf16 MXU, DMA-floor streaming — see ``ops/int8_scan.py``)
+    → ``approx_max_k`` top-``rescore`` candidates → exact f32 rescore.
+
+    Same candidate-set semantics as ``int8_cosine_topk`` (scores are
+    bit-identical, tested) but the gallery-sized dot never goes through
+    XLA's int8 lowering, dodging the libtpu codegen hang at 1M rows.
+    Candidate selection uses ``approx_max_k`` (recall ~1.0 for
+    top-``k`` ⊂ top-``rescore``; exactness tested against full sort).
+    """
+    from retrieval_based_object_detection_tpu.ops.int8_scan import (
+        tiled_scan_scores,
+    )
+
+    N = gallery_f32.shape[0]
+    qn = l2_normalize(queries)
+    q_i8 = quantize_rows_int8(qn)
+    penalty = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
+    scores = tiled_scan_scores(q_i8, gallery_tiled, penalty, tile_n=tile_n,
+                               interpret=interpret)
+    r_eff = min(rescore, N)
+    cand_s, cand_i = jax.lax.approx_max_k(scores, k=r_eff)
+    rows = jnp.take(gallery_f32, cand_i, axis=0)  # [Q, r, D]
+    exact = jnp.einsum("qd,qrd->qr", qn, rows,
+                       preferred_element_type=jnp.float32)
+    exact = jnp.where(cand_s > NEG_INF / 2, exact, NEG_INF)
+    best_s, pos = jax.lax.top_k(exact, k)
+    best_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    return best_s, best_i
+
+
 @partial(jax.jit, static_argnames=("k", "rescore"))
 def int8_cosine_topk(
     queries: jax.Array,      # [Q, D] unnormalised f32

@@ -20,6 +20,7 @@ boolean row mask and the device does one masked matmul + top_k
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, Iterable, Sequence
 
 import jax
@@ -27,11 +28,41 @@ import jax.numpy as jnp
 import numpy as np
 
 from retrieval_based_object_detection_tpu.gallery import search as search_lib
+from retrieval_based_object_detection_tpu.ops import int8_scan
 from retrieval_based_object_detection_tpu.gallery.schema import (
     Filter,
     Payload,
     PayloadColumns,
 )
+
+
+# Mirror-maintenance kernels (module-level so all galleries share the
+# compile cache). Donation makes each patch an in-place update on device.
+@partial(jax.jit, donate_argnums=(0,))
+def _patch_chunk(buf: jax.Array, upd: jax.Array, row: jax.Array) -> jax.Array:
+    return jax.lax.dynamic_update_slice(buf, upd, (row, 0))
+
+
+@jax.jit
+def _cast_bf16(x: jax.Array) -> jax.Array:
+    return x.astype(jnp.bfloat16)
+
+
+@jax.jit
+def _quantize_int8(x: jax.Array) -> jax.Array:
+    return search_lib.quantize_rows_int8(x)
+
+
+@jax.jit
+def _pack_results(scores: jax.Array, idx: jax.Array) -> jax.Array:
+    return jnp.stack([scores, idx.astype(jnp.float32)])
+
+
+@jax.jit
+def _build_scan_mirror(dev_f32: jax.Array) -> jax.Array:
+    """Quantise + re-tile the f32 mirror into the Pallas scan layout —
+    one fused device pass over HBM, nothing crosses the host link."""
+    return int8_scan.pack_rows_tiled(search_lib.quantize_rows_int8(dev_f32))
 
 
 @dataclass
@@ -59,10 +90,20 @@ class Gallery:
         self._payloads = PayloadColumns(capacity)
         self._ids: list[str] = []
         self._id_to_row: dict[str, int] = {}
-        # Device mirrors (built lazily; invalidated by writes).
-        self._dev_vectors: jax.Array | None = None
-        self._dev_int8: jax.Array | None = None
-        self._dev_valid: np.ndarray | None = None
+        # Device mirrors (lazy per tier, updated INCREMENTALLY after small
+        # writes — see _sync_mirrors). All share one padded row count.
+        self._padded = 0
+        self._dev_f32: jax.Array | None = None   # normalised f32 (exact)
+        self._dev_bf16: jax.Array | None = None  # normalised bf16 (serving)
+        self._dev_int8: jax.Array | None = None  # quantised [N, D] (XLA path)
+        self._dev_scan: jax.Array | None = None  # tiled int8 (Pallas scan)
+        # Host rows [0, _synced) are reflected in the mirrors except for
+        # the contiguous dirty range [_dirty_lo, _dirty_hi).
+        self._synced = 0
+        self._dirty_lo = 0
+        self._dirty_hi = 0
+        # Device filter masks keyed by canonical filter; cleared on writes.
+        self._mask_cache: dict[Any, jax.Array] = {}
 
     # ------------------------------------------------------------ size
     def __len__(self) -> int:
@@ -106,18 +147,27 @@ class Gallery:
         if len(payloads) != len(ids):
             raise ValueError("payloads/ids length mismatch")
         self._ensure_capacity(len(ids))
+        pls = [Payload.from_dict(p) if isinstance(p, dict) else p
+               for p in payloads]
+        if len(set(ids)) != len(ids):
+            # Duplicate ids within one batch: last occurrence wins (the
+            # original per-row loop's semantics), applied deterministically.
+            keep = {pid: i for i, pid in enumerate(ids)}
+            order = sorted(keep.values())
+            ids = [ids[i] for i in order]
+            vectors = vectors[order]
+            pls = [pls[i] for i in order]
+        rows = np.empty(len(ids), dtype=np.int64)
         for i, pid in enumerate(ids):
-            payload = payloads[i]
-            if isinstance(payload, dict):
-                payload = Payload.from_dict(payload)
             row = self._id_to_row.get(pid)
             if row is None:
                 row = len(self._ids)
                 self._ids.append(pid)
                 self._id_to_row[pid] = row
-            self._vectors[row] = vectors[i]
-            self._payloads.set_row(row, payload)
-        self._dev_vectors = None
+            rows[i] = row
+        self._vectors[rows] = vectors
+        self._payloads.set_rows(rows, pls)
+        self._mark_dirty(int(rows.min()), int(rows.max()) + 1)
         return len(ids)
 
     def upsert_points(
@@ -157,7 +207,7 @@ class Gallery:
         removed = n - len(new_ids)
         self._ids = new_ids
         self._id_to_row = new_map
-        self._dev_vectors = None
+        self._invalidate_mirrors()  # compaction reshuffles rows
         return removed
 
     # ------------------------------------------------------------ reads
@@ -215,6 +265,29 @@ class Gallery:
         next_offset = offset + limit if offset + limit < len(rows) else None
         return records, next_offset
 
+    def scroll_all(
+        self,
+        flt: Filter | None = None,
+        with_vectors: bool = False,
+    ) -> list[Record]:
+        """ALL records matching a filter, in insertion order.
+
+        Unlike looping ``scroll`` pages (O(N) mask build per page) or a
+        fixed ``limit=100000`` one-shot (a silent ceiling — the same bug
+        class as the reference's limit=10000 at
+        32_create_delegate_vector.py:130), this evaluates the filter mask
+        once and materialises every match."""
+        mask = self._payloads.mask(flt)
+        rows = np.nonzero(mask)[0]
+        return [
+            Record(
+                id=self._ids[r],
+                payload=self._payloads.get_row(int(r)),
+                vector=self._vectors[r].copy() if with_vectors else None,
+            )
+            for r in rows
+        ]
+
     def distinct(self, fieldname: str, flt: Filter | None = None
                  ) -> list:
         """Sorted distinct values of a dictionary-encoded field among rows
@@ -232,32 +305,129 @@ class Gallery:
         mask = self._payloads.mask(flt)
         return self._vectors[: len(self._ids)][mask].copy()
 
-    # ------------------------------------------------------------ search
-    def _device_state(self) -> tuple[jax.Array, np.ndarray]:
-        """Padded, L2-pre-normalised device mirror. Rebuilt lazily after
-        writes (``_dev_vectors`` is invalidated to None); pre-normalising
-        once per sync means queries pay one matmul, not an extra
-        normalisation pass over the whole gallery in HBM."""
-        n = len(self._ids)
-        padded = search_lib.pad_rows(n)
-        if self._dev_vectors is None or self._dev_vectors.shape[0] != padded:
-            buf = np.zeros((padded, self.dim), dtype=np.float32)
-            rows = self._vectors[:n]
-            norms = np.linalg.norm(rows, axis=1, keepdims=True)
-            buf[:n] = rows / np.maximum(norms, 1e-12)
-            self._dev_vectors = jnp.asarray(buf)
-            self._dev_int8 = None
-            valid = np.zeros(padded, dtype=bool)
-            valid[:n] = True
-            self._dev_valid = valid
-        return self._dev_vectors, self._dev_valid
+    # ------------------------------------------------------------ mirrors
+    # Device mirrors come in three tiers that share one padded row count:
+    # f32 (exact tier + rescore source), bf16 (serving scan), int8 (the
+    # quarter-bandwidth Pallas scan for million-row galleries). Small
+    # writes update mirrors INCREMENTALLY via donated dynamic_update_slice
+    # chunks — no O(N·D) host re-normalise, no full re-upload (the round-1
+    # write path re-uploaded the whole gallery after every write).
 
-    def _device_int8(self) -> jax.Array:
-        """int8 mirror of the normalised rows (built on first int8 query)."""
-        dev_vectors, _ = self._device_state()
-        if self._dev_int8 is None:
-            self._dev_int8 = search_lib.quantize_rows_int8(dev_vectors)
-        return self._dev_int8
+    _SYNC_CHUNK = 4096  # rows per incremental device update
+
+    def _invalidate_mirrors(self) -> None:
+        self._padded = 0
+        self._dev_f32 = self._dev_bf16 = self._dev_int8 = None
+        self._dev_scan = None
+        self._synced = 0
+        self._dirty_lo = self._dirty_hi = 0
+        self._mask_cache.clear()
+
+    def _mark_dirty(self, lo: int, hi: int) -> None:
+        """Record a host-row write; mirrors patch the range at next sync."""
+        self._mask_cache.clear()
+        # The tiled scan mirror is re-derived on-device from the patched
+        # f32 mirror (one jit pass, no upload) rather than patched itself.
+        self._dev_scan = None
+        if self._dirty_hi > self._dirty_lo:
+            self._dirty_lo = min(self._dirty_lo, lo)
+            self._dirty_hi = max(self._dirty_hi, hi)
+        else:
+            self._dirty_lo, self._dirty_hi = lo, hi
+
+    def _normalized_rows(self, lo: int, hi: int, out_rows: int) -> np.ndarray:
+        """Host rows [lo, hi) L2-normalised into a zero-padded buffer of
+        ``out_rows`` rows."""
+        buf = np.zeros((out_rows, self.dim), dtype=np.float32)
+        m = hi - lo
+        if m > 0:
+            rows = self._vectors[lo:hi]
+            norms = np.linalg.norm(rows, axis=1, keepdims=True)
+            buf[:m] = rows / np.maximum(norms, 1e-12)
+        return buf
+
+    def _sync_mirrors(self, f32: bool = False, bf16: bool = False,
+                      i8: bool = False) -> None:
+        n = len(self._ids)
+        if search_lib.pad_rows(n) > self._padded:
+            # Grow geometrically so interleaved write/query patterns pay
+            # O(log N) full rebuilds, not one per crossing of a 256 line.
+            # At scan scale the padded count must divide the Pallas tile.
+            target = max(n, 2 * self._padded)
+            multiple = (int8_scan.TILE_N
+                        if target >= self.INT8_SCAN_MIN_ROWS else 256)
+            self._padded = search_lib.pad_rows(target, multiple)
+            self._dev_f32 = self._dev_bf16 = self._dev_int8 = None
+            self._dev_scan = None
+            self._mask_cache.clear()
+        # int8 tiers (XLA and Pallas-tiled) rescore from and re-derive off
+        # the f32 mirror, so i8 implies f32.
+        need_full_f32 = (f32 or i8) and self._dev_f32 is None
+        if need_full_f32 or (bf16 and self._dev_bf16 is None
+                             and self._dev_f32 is None):
+            # One host normalisation pass + ONE f32 upload; other tiers
+            # derive on-device (uploads crawl through the axon tunnel).
+            self._dev_f32 = jnp.asarray(self._normalized_rows(
+                0, n, self._padded))
+            self._synced = n
+            self._dirty_lo = self._dirty_hi = 0
+        if bf16 and self._dev_bf16 is None:
+            self._dev_bf16 = _cast_bf16(self._dev_f32)
+        # Incremental patch of whatever changed since the mirrors were built.
+        lo = min(self._dirty_lo if self._dirty_hi > self._dirty_lo else n,
+                 self._synced)
+        hi = max(self._dirty_hi, n)
+        if lo < hi:
+            self._patch_mirrors(lo, hi)
+        self._synced = n
+        self._dirty_lo = self._dirty_hi = 0
+
+    def _patch_mirrors(self, lo: int, hi: int) -> None:
+        """Push host rows [lo, hi) into every existing mirror in fixed-size
+        chunks (fixed shapes → one compile per tier, not one per batch
+        size). Buffers are donated, so each patch is an in-place
+        dynamic_update_slice, not a 2 GB copy."""
+        n = len(self._ids)
+        chunk = min(self._SYNC_CHUNK, self._padded)
+        start = (lo // chunk) * chunk
+        while start < hi:
+            s = min(start, self._padded - chunk)
+            upd = jnp.asarray(self._normalized_rows(s, min(s + chunk, n),
+                                                    chunk))
+            if self._dev_f32 is not None:
+                self._dev_f32 = _patch_chunk(self._dev_f32, upd, s)
+            if self._dev_bf16 is not None:
+                self._dev_bf16 = _patch_chunk(self._dev_bf16,
+                                              _cast_bf16(upd), s)
+            if self._dev_int8 is not None:
+                self._dev_int8 = _patch_chunk(self._dev_int8,
+                                              _quantize_int8(upd), s)
+            start += chunk
+
+    def _device_mask(self, flt: Filter | None) -> jax.Array:
+        """Device-resident row mask (valid AND filter), cached per filter.
+
+        The experiment grid reuses a small closed set of filters
+        (SURVEY.md §7 hard part 1); caching removes the per-query O(N)
+        host mask build + bool H2D upload the round-1 path paid."""
+        key = None if flt is None else tuple(
+            sorted(flt.must.items(), key=lambda kv: kv[0]))
+        cached = self._mask_cache.get(key)
+        if cached is not None:
+            return cached
+        n = len(self._ids)
+        buf = np.zeros(self._padded, dtype=bool)
+        buf[:n] = self._payloads.mask(flt)
+        mask = jnp.asarray(buf)
+        if len(self._mask_cache) >= 128:
+            self._mask_cache.clear()
+        self._mask_cache[key] = mask
+        return mask
+
+    # Above this row count a serving (exact=False) search auto-routes to
+    # the int8 Pallas scan on TPU — below it the bf16 matmul wins on
+    # dispatch overhead.
+    INT8_SCAN_MIN_ROWS = 131_072
 
     def search(
         self,
@@ -270,36 +440,70 @@ class Gallery:
     ) -> list[list[Record]]:
         """Batched cosine top-k. ``queries`` is [Q, D] or [D].
 
-        ``method``: "exact" (f32 HIGHEST), "bf16" (fast MXU scan), or
-        "int8" (quarter-bandwidth int8 scan + exact f32 rescore of the top
-        candidates). Defaults from the legacy ``exact`` flag.
+        ``method``: "exact" (f32 HIGHEST), "bf16" (MXU scan), "int8"
+        (quarter-bandwidth int8 scan + exact f32 rescore of the top
+        candidates), or None — which means exact when ``exact=True``,
+        else auto (int8 on TPU at ≥INT8_SCAN_MIN_ROWS rows, bf16 below).
         """
+        n = len(self._ids)
         if method is None:
-            method = "exact" if exact else "bf16"
+            if exact:
+                method = "exact"
+            else:
+                from retrieval_based_object_detection_tpu.utils import (
+                    platform,
+                )
+
+                method = ("int8" if n >= self.INT8_SCAN_MIN_ROWS
+                          and platform.is_tpu() else "bf16")
         queries = np.asarray(queries, dtype=np.float32)
         single = queries.ndim == 1
         if single:
             queries = queries[None, :]
-        n = len(self._ids)
         if n == 0:
             return [[] for _ in range(queries.shape[0])]
-        dev_vectors, valid = self._device_state()
-        mask = np.zeros(dev_vectors.shape[0], dtype=bool)
-        mask[:n] = self._payloads.mask(flt)
+        self._sync_mirrors(f32=(method in ("exact", "int8")),
+                           bf16=(method == "bf16"), i8=(method == "int8"))
+        mask = self._device_mask(flt)
         k_eff = min(k, n)
         if method == "int8":
-            scores, idx = search_lib.int8_cosine_topk(
-                jnp.asarray(queries), self._device_int8(), dev_vectors,
-                jnp.asarray(mask), k=k_eff,
-                rescore=min(max(4 * k_eff, 64), dev_vectors.shape[0]),
-            )
+            rescore = min(max(4 * k_eff, 128), self._padded)
+            from retrieval_based_object_detection_tpu.utils import platform
+
+            if (platform.is_tpu() and self._padded >= int8_scan.TILE_N
+                    and self._padded % int8_scan.TILE_N == 0):
+                if self._dev_scan is None:
+                    # Derived on-device from the (already patched) f32
+                    # mirror: quantise + tile, no host pass, no upload.
+                    self._dev_scan = _build_scan_mirror(self._dev_f32)
+                scores, idx = search_lib.int8_scan_topk(
+                    jnp.asarray(queries), self._dev_scan, self._dev_f32,
+                    mask, k=k_eff, rescore=rescore,
+                )
+            else:
+                # XLA's int8 dot is fine at small scale / off-TPU; the
+                # Pallas kernel would need interpret mode here.
+                if self._dev_int8 is None:
+                    self._dev_int8 = _quantize_int8(self._dev_f32)
+                scores, idx = search_lib.int8_cosine_topk(
+                    jnp.asarray(queries), self._dev_int8, self._dev_f32,
+                    mask, k=k_eff, rescore=rescore,
+                )
         else:
+            g = self._dev_f32 if method == "exact" else self._dev_bf16
             scores, idx = search_lib.masked_cosine_topk(
-                jnp.asarray(queries), dev_vectors, jnp.asarray(mask),
+                jnp.asarray(queries), g, mask,
                 k=k_eff, exact=(method == "exact"), gallery_normalized=True,
             )
-        scores = np.asarray(scores)
-        idx = np.asarray(idx)
+        if self._padded < (1 << 24):
+            # One packed device->host fetch instead of two: each fetch is
+            # a full round trip on remote-tunnel backends. Row indices
+            # below 2^24 are exact in f32.
+            packed = np.asarray(_pack_results(scores, idx))
+            scores, idx = packed[0], packed[1].astype(np.int64)
+        else:
+            scores = np.asarray(scores)
+            idx = np.asarray(idx)
         results: list[list[Record]] = []
         for qi in range(queries.shape[0]):
             hits = []

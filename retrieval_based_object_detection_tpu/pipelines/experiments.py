@@ -154,7 +154,7 @@ def run_experiments(
         data_type = test_meta[0][2]
         for dtype in cfg.delegate_types:
             flt = _delegate_filter(case, dtype, data_type)
-            recs, _ = gallery.scroll(flt, limit=100000, with_vectors=True)
+            recs = gallery.scroll_all(flt, with_vectors=True)
             if not recs:
                 continue
             dvecs = np.stack([r.vector for r in recs])

@@ -124,7 +124,7 @@ class RetrievalDetector:
                          "data_type": self.data_type})
             & Filter.for_case(self.case)
         )
-        recs, _ = self.gallery.scroll(flt, limit=100000, with_vectors=True)
+        recs = self.gallery.scroll_all(flt, with_vectors=True)
         if not recs:
             raise ValueError(
                 f"no delegates for {self.case}/{self.delegate_type}/"
