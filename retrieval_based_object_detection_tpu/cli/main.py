@@ -262,12 +262,23 @@ def cmd_crop(args) -> int:
 def _make_sam(args):
     from retrieval_based_object_detection_tpu.models.sam import model as SM
 
-    if args.sam_checkpoint:
+    checkpoint = args.sam_checkpoint
+    if not checkpoint and getattr(args, "sam_variant", None):
+        # Auto-download the official checkpoint into the cache dir
+        # (22_segment_image_auto.py:24-38 behaviour).
+        from retrieval_based_object_detection_tpu.models.sam.download import (
+            ensure_checkpoint,
+        )
+
+        checkpoint = str(ensure_checkpoint(
+            args.sam_variant,
+            getattr(args, "sam_cache_dir", None) or "model"))
+    if checkpoint:
         from retrieval_based_object_detection_tpu.models.sam.convert import (
             load_torch_checkpoint,
         )
 
-        params, config = load_torch_checkpoint(args.sam_checkpoint)
+        params, config = load_torch_checkpoint(checkpoint)
     else:
         print("[rbod] WARNING: no --sam-checkpoint; using the random-init "
               "tiny SAM (masks are NOT meaningful)", file=sys.stderr)
@@ -488,7 +499,10 @@ def cmd_e2e(args) -> int:
         rc = main(["segment", "--src", args.cropped, "--dst", args.segmented,
                    "--type", t]
                   + (["--sam-checkpoint", args.sam_checkpoint]
-                     if args.sam_checkpoint else []))
+                     if args.sam_checkpoint else [])
+                  + (["--sam-variant", args.sam_variant,
+                      "--sam-cache-dir", args.sam_cache_dir]
+                     if args.sam_variant else []))
         if rc:
             return rc
         # pre_c source: augmented variants of the segmented images. Both
@@ -647,6 +661,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--dir", required=True)
     sp.add_argument("--all", action="store_true")
     sp.add_argument("--sam-checkpoint")
+    sp.add_argument("--sam-variant", choices=["vit_b", "vit_l", "vit_h"],
+                    help="auto-download this official SAM checkpoint "
+                         "into --sam-cache-dir (22a:24-38)")
+    sp.add_argument("--sam-cache-dir", default="model")
     sp.add_argument("--host", default="0.0.0.0")
     sp.add_argument("--port", type=int, default=7890)
 
@@ -668,6 +686,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--type", default="original")
     sp.add_argument("--classes", nargs="*", default=None)
     sp.add_argument("--sam-checkpoint")
+    sp.add_argument("--sam-variant", choices=["vit_b", "vit_l", "vit_h"],
+                    help="auto-download this official SAM checkpoint "
+                         "into --sam-cache-dir (22a:24-38)")
+    sp.add_argument("--sam-cache-dir", default="model")
 
     sp = add("segment-manual", cmd_segment_manual,
              help="click-to-segment session (22m)")
@@ -678,6 +700,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--mask", type=int, default=None)
     sp.add_argument("--all", action="store_true")
     sp.add_argument("--sam-checkpoint")
+    sp.add_argument("--sam-variant", choices=["vit_b", "vit_l", "vit_h"],
+                    help="auto-download this official SAM checkpoint "
+                         "into --sam-cache-dir (22a:24-38)")
+    sp.add_argument("--sam-cache-dir", default="model")
 
     sp = add("augment", cmd_augment, help="augmentation grid (23)")
     sp.add_argument("--src", default="dataset_segmented")
@@ -751,6 +777,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--results-dir", default="results")
     sp.add_argument("--clip-checkpoint")
     sp.add_argument("--sam-checkpoint")
+    sp.add_argument("--sam-variant", choices=["vit_b", "vit_l", "vit_h"],
+                    help="auto-download this official SAM checkpoint "
+                         "into --sam-cache-dir (22a:24-38)")
+    sp.add_argument("--sam-cache-dir", default="model")
     sp.add_argument("--overwrite", action="store_true")
     sp.add_argument("--no-plots", action="store_true")
 

@@ -59,10 +59,20 @@ def _pack_results(scores: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def _build_scan_mirror_jit(dev_f32: jax.Array) -> jax.Array:
+    return int8_scan.pack_rows_tiled(search_lib.quantize_rows_int8(dev_f32))
+
+
 def _build_scan_mirror(dev_f32: jax.Array) -> jax.Array:
     """Quantise + re-tile the f32 mirror into the Pallas scan layout —
-    one fused device pass over HBM, nothing crosses the host link."""
-    return int8_scan.pack_rows_tiled(search_lib.quantize_rows_int8(dev_f32))
+    one fused device pass over HBM, nothing crosses the host link.
+
+    The ``jnp.copy`` OUTSIDE the jit is load-bearing: XLA implements the
+    transpose of the jitted pack as a physical-layout annotation on the
+    output, which silently re-strides the scan kernel's DMA back to
+    339 GB/s (measured 2.3 ms vs 1.65 ms at 1M rows). The copy forces a
+    default-layout materialisation."""
+    return jnp.copy(_build_scan_mirror_jit(dev_f32))
 
 
 @dataclass

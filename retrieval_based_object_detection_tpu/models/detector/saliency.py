@@ -1,21 +1,28 @@
 """Weight-free salient-object box proposer, batched JAX.
 
-For studio product shots (near-uniform background, centered object — the
-data this pipeline ingests), a background-contrast model finds the object
-box reliably without any pretrained network:
+Fills the reference's YOLOv8s auto-label slot (11_dataset_labeling.py:96-99)
+without pretrained weights. Quality is MEASURED, not assumed:
+``benchmarks/detector_quality.py`` scores IoU@0.5 recall on studio and
+cluttered synthetic scenes, and ``tests/test_detector_quality.py`` pins
+regression thresholds.
 
-  1. estimate the background colour as the median of the image border,
-  2. score each pixel by colour distance to that background,
-  3. smooth (avg-pool) and threshold at a quantile between the border
-     score and the peak score,
-  4. take the box spanned by the robust (q_lo..q_hi) quantiles of the
-     foreground coordinate distribution; confidence = mean foreground
-     score inside the box relative to the peak.
+Model:
+  1. background seeds: per-side border medians + the global border median,
+     each also shadow-scaled (x0.7) — min colour distance to any seed is
+     the foreground score (a single global median fails on multi-gradient
+     / multi-surface backgrounds; shadows are near-scaled background).
+  2. smooth (avg-pool), threshold at a quantile between the border floor
+     and the peak.
+  3. connected blob: flood-fill the thresholded mask FROM THE PEAK
+     (iterated masked dilation — static shapes, one jit). Distractor
+     blobs elsewhere in the frame never leak into the box, which is what
+     broke the round-1 global-quantile box on cluttered scenes
+     (recall@0.5 0.34 -> 0.89 with the blob box; studio stays 1.00).
+  4. box = blob bounds; confidence = blob's share of total foreground
+     saliency mass (clutter steals mass -> lower conf, as it should).
 
 All steps are jit-compiled, static-shaped, and batched; one image or a
-whole batch costs a single device dispatch. Returns at most ``max_boxes``
-boxes per image (one primary box; secondary boxes come from quadrant
-re-runs when requested) in xyxy pixels with confidences in [0, 1].
+whole batch costs a single device dispatch.
 """
 
 from __future__ import annotations
@@ -38,8 +45,17 @@ def saliency_map(images: jax.Array, border: int = 8, pool: int = 9
     left = x[:, :, :border, :].reshape(B, -1, 3)
     right = x[:, :, -border:, :].reshape(B, -1, 3)
     ring = jnp.concatenate([top, bot, left, right], axis=1)
-    bg = jnp.median(ring, axis=1)  # [B, 3]
-    score = jnp.linalg.norm(x - bg[:, None, None, :], axis=-1)  # [B, H, W]
+    seeds = jnp.stack([
+        jnp.median(top, axis=1),
+        jnp.median(bot, axis=1),
+        jnp.median(left, axis=1),
+        jnp.median(right, axis=1),
+        jnp.median(ring, axis=1),
+    ], axis=1)  # [B, S, 3]
+    # Shadowed background is approximately scaled background.
+    seeds = jnp.concatenate([seeds, 0.7 * seeds], axis=1)
+    d = jnp.linalg.norm(x[:, None] - seeds[:, :, None, None, :], axis=-1)
+    score = jnp.min(d, axis=1)  # [B, H, W]
     # Smooth with an avg pool (reduce_window keeps shapes static).
     score = jax.lax.reduce_window(
         score, 0.0, jax.lax.add, (1, pool, pool), (1, 1, 1), "SAME"
@@ -47,19 +63,24 @@ def saliency_map(images: jax.Array, border: int = 8, pool: int = 9
     return score
 
 
+def _dilate(m: jax.Array, win: int) -> jax.Array:
+    return jax.lax.reduce_window(
+        m, False, jax.lax.bitwise_or, (1, win, win), (1, 1, 1), "SAME")
+
+
 @partial(jax.jit, static_argnames=("q_lo", "q_hi", "rel_threshold"))
 def box_from_saliency(
     score: jax.Array,  # [B, H, W]
-    q_lo: float = 0.01,
+    q_lo: float = 0.01,   # kept for signature compat (blob box ignores it)
     q_hi: float = 0.99,
     rel_threshold: float = 0.35,
 ) -> tuple[jax.Array, jax.Array]:
     """→ (boxes [B, 4] xyxy pixels, conf [B]).
 
     Threshold = rel_threshold × (peak − border-floor) above the floor;
-    the box spans the q_lo..q_hi quantiles of thresholded coordinates
-    (robust to speckle). Confidence = fraction of total saliency mass
-    captured inside the box, scaled by foreground coverage sanity.
+    the box bounds the THRESHOLDED BLOB CONNECTED TO THE PEAK (iterated
+    masked dilation). Confidence = the blob's share of total foreground
+    saliency mass.
     """
     B, H, W = score.shape
     floor = jnp.percentile(score.reshape(B, -1), 20.0, axis=1)
@@ -70,34 +91,59 @@ def box_from_saliency(
     ys = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
     xs = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
 
-    def coord_quantiles(coord):
-        # Masked quantiles via sorting with +inf for background pixels.
-        v = jnp.where(fg, coord, jnp.inf).reshape(B, -1)
-        v = jnp.sort(v, axis=1)
-        n_fg = jnp.sum(fg.reshape(B, -1), axis=1)
-        lo_idx = jnp.clip((n_fg * q_lo).astype(jnp.int32), 0, H * W - 1)
-        hi_idx = jnp.clip((n_fg * q_hi).astype(jnp.int32) - 1, 0, H * W - 1)
-        lo = jnp.take_along_axis(v, lo_idx[:, None], axis=1)[:, 0]
-        hi = jnp.take_along_axis(v, hi_idx[:, None], axis=1)[:, 0]
-        return lo, hi
+    # Flood fill from the peak: masked dilation until the blob saturates.
+    flat_peak = jnp.argmax(score.reshape(B, -1), axis=1)
+    py = (flat_peak // W).astype(jnp.float32)
+    px = (flat_peak % W).astype(jnp.float32)
+    seed = (ys == py[:, None, None]) & (xs == px[:, None, None])
+    win = 9  # grows 4 px/iter; also bridges sub-smoothing-scale gaps
+    iters = max(H, W) // 8 + 2
 
-    x1, x2 = coord_quantiles(xs)
-    y1, y2 = coord_quantiles(ys)
-    n_fg = jnp.sum(fg.reshape(B, -1), axis=1)
-    empty = n_fg < 16  # fewer than 16 foreground pixels -> no detection
+    def body(_, m):
+        return _dilate(m, win) & fg
+
+    blob = jax.lax.fori_loop(0, iters, body, seed & fg)
+
+    # Second candidate: flood-fill from the strongest peak OUTSIDE the
+    # first blob. The peak can sit on a small high-contrast distractor
+    # while the object is the larger mass elsewhere — the more MASSIVE
+    # blob wins, and confidence is its dominance over the loser (a lone
+    # object scores ~1 however textured the background; an equally
+    # salient distractor drags it toward 0.5).
+    rel = jnp.maximum(score - thresh[:, None, None], 0.0)
+    rest = rel * (~blob)
+    flat2 = jnp.argmax(rest.reshape(B, -1), axis=1)
+    py2 = (flat2 // W).astype(jnp.float32)
+    px2 = (flat2 % W).astype(jnp.float32)
+    seed2 = (ys == py2[:, None, None]) & (xs == px2[:, None, None])
+    fg2 = fg & (~blob)
+
+    def body2(_, m):
+        return _dilate(m, win) & fg2
+
+    blob2 = jax.lax.fori_loop(0, iters, body2, seed2 & fg2)
+    mass1 = jnp.sum(rel * blob, axis=(1, 2))
+    mass2 = jnp.sum(rel * blob2, axis=(1, 2))
+    swap = (mass2 > mass1)[:, None, None]
+    winner = jnp.where(swap, blob2, blob)
+    mass_win = jnp.maximum(mass1, mass2)
+    mass_lose = jnp.minimum(mass1, mass2)
+
+    n_blob = jnp.sum(winner.reshape(B, -1), axis=1)
+    empty = n_blob < 16  # fewer than 16 blob pixels -> no detection
+    big = jnp.float32(1e9)
+    x1 = jnp.min(jnp.where(winner, xs, big), axis=(1, 2))
+    y1 = jnp.min(jnp.where(winner, ys, big), axis=(1, 2))
+    x2 = jnp.max(jnp.where(winner, xs, -big), axis=(1, 2)) + 1.0
+    y2 = jnp.max(jnp.where(winner, ys, -big), axis=(1, 2)) + 1.0
     x1 = jnp.where(empty, 0.0, x1)
     y1 = jnp.where(empty, 0.0, y1)
-    x2 = jnp.where(empty, 0.0, x2 + 1.0)
-    y2 = jnp.where(empty, 0.0, y2 + 1.0)
+    x2 = jnp.where(empty, 0.0, x2)
+    y2 = jnp.where(empty, 0.0, y2)
     boxes = jnp.stack([x1, y1, x2, y2], axis=1)
 
-    # Mass inside box / total mass (above floor), 0 when empty.
-    rel = jnp.maximum(score - thresh[:, None, None], 0.0)
-    inside = ((xs >= x1[:, None, None]) & (xs < x2[:, None, None]) &
-              (ys >= y1[:, None, None]) & (ys < y2[:, None, None]))
-    mass_in = jnp.sum(rel * inside, axis=(1, 2))
-    mass = jnp.sum(rel, axis=(1, 2))
-    conf = jnp.where(empty, 0.0, mass_in / jnp.maximum(mass, 1e-6))
+    conf = jnp.where(
+        empty, 0.0, mass_win / jnp.maximum(mass_win + mass_lose, 1e-6))
     return boxes, conf
 
 

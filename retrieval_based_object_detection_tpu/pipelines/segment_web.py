@@ -37,6 +37,7 @@ body { font-family: sans-serif; margin: 1.5em; }
 <div id="main"><img id="img" src="/img/current" onclick="click_img(event)"></div>
 <div id="cands"></div>
 <button onclick="next_img()">next image</button>
+<a href="/api/download"><button>download results (zip)</button></a>
 <script>
 async function refresh() {
   const s = await (await fetch('/api/state')).json();
@@ -146,6 +147,19 @@ class SegmentWebApp:
             self._candidates = None
             return {"pos": self.session.pos}
 
+    def results_zip(self) -> bytes:
+        """Zip of every saved ``*_rmbg.png`` in the session directory —
+        the reference's bulk-download button (22m:291-306)."""
+        import zipfile
+
+        with self.lock:
+            outputs = sorted(self.session.src_dir.glob("*_rmbg.png"))
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+                for p in outputs:
+                    zf.write(p, arcname=p.name)
+            return buf.getvalue()
+
 
 def make_handler(app: SegmentWebApp):
     class Handler(BaseHTTPRequestHandler):
@@ -185,6 +199,15 @@ def make_handler(app: SegmentWebApp):
                     self._json({"error": "no candidate"}, 404)
                 else:
                     self._send(200, png, "image/png")
+            elif path == "/api/download":
+                data = app.results_zip()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/zip")
+                self.send_header("Content-Disposition",
+                                 "attachment; filename=segmented_masks.zip")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
             else:
                 self._json({"error": "not found"}, 404)
 

@@ -66,10 +66,11 @@ def loss_fn(params, images, labels, clip_config, cfg: TrainConfig):
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     def encode(tower, x, config, dt):
-        # fused_attention must stay OFF under autodiff: the Pallas
-        # attention-core kernel defines no VJP (inference-only fast path).
+        # None = auto: the Pallas attention-core kernel (now with a
+        # recompute-based custom VJP — ops/clip_attention.py) runs in
+        # both passes on TPU bf16; f32/CPU keeps the einsum oracle.
         return clip_model.encode_image(tower, x, config, dt,
-                                       fused_attention=False)
+                                       fused_attention=None)
 
     if cfg.remat:
         encode = jax.checkpoint(

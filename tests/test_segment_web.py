@@ -106,3 +106,21 @@ def test_concurrent_clicks_are_serialized(server):
     # Session still coherent: save works.
     status, res = _post(base + "/api/save", {"mask": 0})
     assert status == 200
+
+
+def test_download_zip(server):
+    """/api/download returns a zip of the saved *_rmbg.png outputs
+    (22m:291-306 bulk download)."""
+    import io
+    import zipfile
+
+    base, d = server
+    # Save one mask first.
+    _get(base + "/img/current")
+    _post(base + "/api/click", {"x": 25, "y": 20})
+    _post(base + "/api/save", {"mask": 0})
+    status, body, ctype = _get(base + "/api/download")
+    assert status == 200 and ctype == "application/zip"
+    with zipfile.ZipFile(io.BytesIO(body)) as zf:
+        names = zf.namelist()
+    assert names == ["m0_rmbg.png"]
