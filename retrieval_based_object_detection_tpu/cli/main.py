@@ -30,12 +30,24 @@ from pathlib import Path
 
 
 def _store_load(path: str):
+    """Local snapshot dir, or — when given an http(s) URL — a client for
+    a running ``rbod gallery-server`` (the reference's Qdrant-container
+    topology, docker-compose.yml)."""
+    if path.startswith(("http://", "https://")):
+        from retrieval_based_object_detection_tpu.gallery.client import (
+            RemoteVectorStore,
+        )
+
+        return RemoteVectorStore(path)
     from retrieval_based_object_detection_tpu.gallery.persist import load_store
 
     return load_store(path)
 
 
 def _store_save(store, path: str) -> None:
+    if path.startswith(("http://", "https://")):
+        store.snapshot()  # the server owns persistence
+        return
     from retrieval_based_object_detection_tpu.gallery.persist import save_store
 
     save_store(store, path)
@@ -545,32 +557,70 @@ def cmd_wizard(args) -> int:
         prompt_yes_no,
     )
 
+    def pick_collection(store_path: str = "gallery_store") -> str:
+        """Collection pick with point counts — the reference's
+        list-then-choose flow (32_create_delegate_vector.py:65-75)."""
+        try:
+            cols = _store_load(store_path).list_collections()
+        except Exception:
+            cols = []
+        if not cols:
+            return prompt_value("Collection name", default="default")
+        labels = [f"{n} ({c} points)" for n, c in cols]
+        return prompt_choice("Collection?", labels).split()[0]
+
     stage = prompt_choice(
         "Which stage do you want to run?",
-        ["ingest", "label", "crop", "segment", "augment", "embed",
-         "delegates", "experiments", "analyze"])
+        ["ingest", "label", "review", "review-web", "restore", "crop",
+         "segment", "segment-web", "augment", "embed", "delegates",
+         "experiments", "analyze", "serve", "e2e"])
     img_type = None
-    if stage in ("ingest", "label", "crop", "segment", "augment", "embed"):
+    if stage in ("ingest", "label", "review", "review-web", "restore",
+                 "crop", "segment", "augment", "embed"):
         img_type = prompt_choice("Image type?", ["original", "natural"],
                                  default="original")
     argv: list[str] = [stage]
     if img_type:
         argv += ["--type", img_type]
+    if stage == "review":
+        argv += [prompt_choice(
+            "Review action?",
+            ["status", "render", "select", "redetect", "manual",
+             "next", "prev"], default="status")]
+    if stage == "segment-web":
+        argv = [stage]  # no --type flag on this command
+        argv += ["--dir", prompt_value(
+            "Class directory to segment?",
+            default=f"dataset_cropped/{img_type}_images")]
+        if prompt_yes_no("Re-segment already-processed images?",
+                         default=False):
+            argv += ["--all"]
+    if stage in ("segment", "segment-web"):
+        # SAM variant pick with the reference's VRAM guidance (22a:20-26).
+        variant = prompt_choice(
+            "SAM model? (auto-downloads the official checkpoint)",
+            ["vit_b (fastest, ~4GB)", "vit_l (~6GB)",
+             "vit_h (best, ~8GB)", "none (random-init tiny SAM)"],
+            default="vit_b (fastest, ~4GB)").split()[0]
+        if variant != "none":
+            argv += ["--sam-variant", variant]
     if stage == "embed":
         argv += ["--root", prompt_choice(
             "Dataset directory?",
             ["dataset_cropped", "dataset_segmented", "dataset_augmented"])]
-        argv += ["--collection",
-                 prompt_value("Collection name", default="default")]
-    if stage in ("delegates", "experiments"):
-        argv += ["--collection",
-                 prompt_value("Collection name", default="default")]
+        argv += ["--collection", pick_collection()]
+    if stage in ("delegates", "experiments", "serve"):
+        argv += ["--collection", pick_collection()]
     if stage == "experiments":
         group = prompt_choice(
             "Test group?",
             ["TestGroup1 (dataset_segmented)", "TestGroup2 (dataset_cropped)"],
             default="TestGroup1 (dataset_segmented)")
         argv += ["--test-group", group.split()[0]]
+    if stage == "e2e":
+        if prompt_yes_no("Run HEIC ingest first?", default=False):
+            argv += ["--raw", prompt_value("Raw source tree",
+                                           default="dataset_heic")]
     if not prompt_yes_no(f"Run: rbod {' '.join(argv)} ?", default=True):
         print("aborted")
         return 1

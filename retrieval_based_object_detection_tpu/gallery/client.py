@@ -1,0 +1,207 @@
+"""HTTP client for the gallery service — the stage-side of the
+multi-process topology.
+
+The reference ran every stage against a Qdrant container over HTTP
+(02_qdrant_environment_setting.txt:1-8). The TPU-native framework embeds
+the gallery in-process by default, but for the served topology
+(``rbod gallery-server`` + docker-compose.yml) this client mirrors the
+``Gallery``/``VectorStore`` surface the pipelines use, so EVERY stage
+runs unmodified against a remote gallery: pass
+``--store http://host:6333`` to any command and ``cli._store_load``
+returns a ``RemoteVectorStore`` instead of loading a local snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+from typing import Any, Sequence
+
+import numpy as np
+
+from retrieval_based_object_detection_tpu.gallery.schema import (
+    Filter,
+    Payload,
+)
+from retrieval_based_object_detection_tpu.gallery.store import Record
+
+
+class GalleryServiceError(RuntimeError):
+    def __init__(self, status: int, message: str):
+        super().__init__(f"gallery service HTTP {status}: {message}")
+        self.status = status
+
+
+def _request(method: str, url: str, body: dict | None = None) -> Any:
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    if data is not None:
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            return json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        try:
+            msg = json.loads(e.read()).get("error", "")
+        except Exception:
+            msg = ""
+        raise GalleryServiceError(e.code, msg) from e
+
+
+def _filter_body(flt: Filter | None) -> dict:
+    return {"filter": dict(flt.must)} if flt is not None else {}
+
+
+class GalleryClient:
+    """One remote collection, with the Gallery methods the stages use."""
+
+    def __init__(self, base_url: str, name: str, dim: int | None = None,
+                 distance: str = "cosine"):
+        self.base = base_url.rstrip("/")
+        self.name = name
+        self._dim = dim
+        self.distance = distance
+
+    # ------------------------------------------------------------ meta
+    @property
+    def dim(self) -> int:
+        if self._dim is None:
+            for c in _request("GET", f"{self.base}/collections"):
+                if c["name"] == self.name:
+                    self._dim = int(c.get("dim", 512))
+                    break
+            else:
+                raise KeyError(f"no such collection: {self.name}")
+        return self._dim
+
+    def _url(self, op: str = "") -> str:
+        return f"{self.base}/collections/{self.name}{op}"
+
+    def __len__(self) -> int:
+        return self.count()
+
+    def count(self, flt: Filter | None = None) -> int:
+        return int(_request("POST", self._url("/count"),
+                            _filter_body(flt))["count"])
+
+    # ------------------------------------------------------------ writes
+    def upsert(self, ids: Sequence[str], vectors, payloads) -> int:
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.ndim == 1:
+            vectors = vectors[None, :]
+        pls = [p.to_dict() if isinstance(p, Payload) else p
+               for p in payloads]
+        return int(_request("POST", self._url("/points"), {
+            "ids": list(ids), "vectors": vectors.tolist(), "payloads": pls,
+        })["upserted"])
+
+    def delete(self, ids: Sequence[str] | None = None,
+               flt: Filter | None = None) -> int:
+        body = _filter_body(flt)
+        if ids is not None:
+            body["ids"] = list(ids)
+        return int(_request("POST", self._url("/points/delete"),
+                            body)["deleted"])
+
+    # ------------------------------------------------------------ reads
+    @staticmethod
+    def _record(p: dict) -> Record:
+        return Record(
+            id=p["id"],
+            payload=Payload.from_dict(p["payload"]),
+            vector=(np.asarray(p["vector"], np.float32)
+                    if "vector" in p else None),
+            score=p.get("score"),
+        )
+
+    def scroll(self, flt: Filter | None = None, limit: int = 10,
+               offset: int = 0, with_vectors: bool = False
+               ) -> tuple[list[Record], int | None]:
+        body = _filter_body(flt)
+        body.update(limit=limit, offset=offset, with_vectors=with_vectors)
+        out = _request("POST", self._url("/points/scroll"), body)
+        return ([self._record(p) for p in out["points"]],
+                out["next_offset"])
+
+    def scroll_all(self, flt: Filter | None = None,
+                   with_vectors: bool = False) -> list[Record]:
+        records: list[Record] = []
+        offset: int | None = 0
+        while offset is not None:
+            page, offset = self.scroll(flt, limit=4096, offset=offset,
+                                       with_vectors=with_vectors)
+            records.extend(page)
+        return records
+
+    def get_by_path(self, img_path: str, with_vectors: bool = True
+                    ) -> Record | None:
+        recs, _ = self.scroll(Filter(must={"img_path": img_path}),
+                              limit=1, with_vectors=with_vectors)
+        return recs[0] if recs else None
+
+    def vectors_matching(self, flt: Filter | None = None) -> np.ndarray:
+        recs = self.scroll_all(flt, with_vectors=True)
+        if not recs:
+            return np.zeros((0, self.dim), np.float32)
+        return np.stack([r.vector for r in recs])
+
+    def distinct(self, fieldname: str, flt: Filter | None = None) -> list:
+        recs = self.scroll_all(flt)
+        return sorted({getattr(r.payload, fieldname) for r in recs
+                       if getattr(r.payload, fieldname) is not None})
+
+    def search(self, queries, k: int = 10, flt: Filter | None = None,
+               exact: bool = True, with_vectors: bool = False,
+               method: str | None = None) -> list[list[Record]]:
+        if method is None:
+            method = "exact" if exact else "bf16"
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        body = _filter_body(flt)
+        body.update(queries=queries.tolist(), k=k, method=method)
+        out = _request("POST", self._url("/points/search"), body)
+        return [[self._record(h) for h in hits] for hits in out["results"]]
+
+
+class RemoteVectorStore:
+    """VectorStore facade over the HTTP service (for cli._store_load)."""
+
+    def __init__(self, base_url: str):
+        self.base = base_url.rstrip("/")
+
+    def list_collections(self) -> list[tuple[str, int]]:
+        return [(c["name"], c["count"])
+                for c in _request("GET", f"{self.base}/collections")]
+
+    def __contains__(self, name: str) -> bool:
+        return any(n == name for n, _ in self.list_collections())
+
+    def get(self, name: str) -> GalleryClient:
+        if name not in self:
+            raise KeyError(name)
+        return GalleryClient(self.base, name)
+
+    def create_collection(self, name: str, dim: int = 512,
+                          distance: str = "cosine",
+                          recreate: bool = True) -> GalleryClient:
+        _request("PUT", f"{self.base}/collections/{name}",
+                 {"dim": dim, "distance": distance, "force": recreate})
+        return GalleryClient(self.base, name, dim=dim, distance=distance)
+
+    def rename_collection(self, old: str, new: str) -> None:
+        _request("POST", f"{self.base}/collections/{old}/rename",
+                 {"new_name": new})
+
+    def delete_collection(self, name: str) -> None:
+        _request("DELETE", f"{self.base}/collections/{name}")
+
+    def delete_all_collections(self) -> int:
+        names = [n for n, _ in self.list_collections()]
+        for n in names:
+            self.delete_collection(n)
+        return len(names)
+
+    def snapshot(self) -> list[str]:
+        return _request("POST", f"{self.base}/snapshot")["saved"]

@@ -63,7 +63,9 @@ class GalleryService:
     # ------------------------------------------------------------ ops
     def list_collections(self):
         with self.lock:
-            return [{"name": n, "count": c}
+            return [{"name": n, "count": c,
+                     "dim": self.store.get(n).dim,
+                     "distance": self.store.get(n).distance}
                     for n, c in self.store.list_collections()]
 
     def create(self, name: str, body: dict):

@@ -45,11 +45,20 @@ def merge_overrides(cfg: T, overrides: dict[str, Any]) -> T:
 
 
 # ------------------------------------------------------------ prompts
+def _default_input(prompt: str) -> str:
+    # Resolved at CALL time (a def-time ``input_fn=input`` default would
+    # freeze whatever builtins.input was at import — breaking test
+    # monkeypatching and any REPL that swaps stdin).
+    import builtins
+
+    return builtins.input(prompt)
+
+
 def prompt_choice(
     question: str,
     options: Sequence[str],
     default: str | None = None,
-    input_fn: Callable[[str], str] = input,
+    input_fn: Callable[[str], str] = _default_input,
     print_fn: Callable[[str], None] = print,
 ) -> str:
     """Numbered-menu prompt with a validation loop (the reference's UX:
@@ -76,7 +85,7 @@ def prompt_choice(
 def prompt_yes_no(
     question: str,
     default: bool | None = None,
-    input_fn: Callable[[str], str] = input,
+    input_fn: Callable[[str], str] = _default_input,
     print_fn: Callable[[str], None] = print,
 ) -> bool:
     suffix = "" if default is None else (" [Y/n]" if default else " [y/N]")
@@ -95,7 +104,7 @@ def prompt_value(
     question: str,
     default: str | None = None,
     cast: Callable[[str], Any] = str,
-    input_fn: Callable[[str], str] = input,
+    input_fn: Callable[[str], str] = _default_input,
     print_fn: Callable[[str], None] = print,
 ) -> Any:
     suffix = f" [default: {default}]" if default is not None else ""

@@ -1,0 +1,105 @@
+"""Remote gallery topology: GalleryClient/RemoteVectorStore against a live
+``rbod gallery-server`` — and the CLI stages driven end-to-end with
+``--store http://...`` (the reference's Qdrant-container layout)."""
+
+import threading
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from retrieval_based_object_detection_tpu.cli.main import main
+from retrieval_based_object_detection_tpu.gallery import server as server_mod
+from retrieval_based_object_detection_tpu.gallery.client import (
+    GalleryClient,
+    GalleryServiceError,
+    RemoteVectorStore,
+)
+from retrieval_based_object_detection_tpu.gallery.schema import Filter, Payload
+
+
+@pytest.fixture
+def service(tmp_path):
+    srv = server_mod.serve(tmp_path / "store", host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_client_crud_and_search(service, rng):
+    store = RemoteVectorStore(service)
+    g = store.create_collection("demo", dim=16)
+    assert "demo" in store and store.list_collections() == [("demo", 0)]
+
+    vecs = rng.normal(size=(20, 16)).astype(np.float32)
+    pls = [Payload(data_type="original_images",
+                   class_name="a" if i < 10 else "b",
+                   img_path=f"/i/{i}.jpg") for i in range(20)]
+    assert g.upsert([f"p{i}" for i in range(20)], vecs, pls) == 20
+    assert len(g) == 20 and g.dim == 16
+    assert g.count(Filter(must={"class_name": "a"})) == 10
+
+    hits = g.search(vecs[3], k=3)
+    assert hits[0][0].id == "p3" and hits[0][0].score > 0.999
+
+    rec = g.get_by_path("/i/7.jpg")
+    assert rec.id == "p7" and rec.vector.shape == (16,)
+
+    assert g.distinct("class_name") == ["a", "b"]
+    assert g.vectors_matching(Filter(must={"class_name": "b"})).shape \
+        == (10, 16)
+
+    assert g.delete(ids=["p0", "p1"]) == 2
+    assert len(g) == 18
+
+    store.rename_collection("demo", "demo2")
+    assert "demo" not in store and "demo2" in store
+    with pytest.raises(GalleryServiceError):
+        GalleryClient(service, "demo").count()
+
+
+def test_cli_stages_against_remote_store(service, tmp_path, monkeypatch,
+                                         rng):
+    """embed → delegates → experiments, all through --store http://..."""
+    import dataclasses
+    import json
+
+    from retrieval_based_object_detection_tpu.models.clip.model import (
+        CLIPVisionConfig,
+        init_params,
+    )
+    from retrieval_based_object_detection_tpu.utils.checkpoint import (
+        save_params,
+    )
+
+    monkeypatch.chdir(tmp_path)
+    tiny = CLIPVisionConfig(image_size=64, patch_size=16, width=64,
+                            layers=2, heads=1, embed_dim=32)
+    ckpt = tmp_path / "tiny_clip"
+    ckpt.mkdir()
+    (ckpt / "clip_config.json").write_text(
+        json.dumps(dataclasses.asdict(tiny)))
+    save_params(init_params(tiny, seed=0), ckpt / "params")
+
+    for cls, col in (("cola", (210, 40, 40)), ("fanta", (240, 140, 30))):
+        for t in ("original", "natural"):
+            d = tmp_path / "dataset_cropped" / f"{t}_images" / cls
+            d.mkdir(parents=True)
+            for i in range(2):
+                a = np.full((64, 64, 3), 228, np.uint8)
+                a[16:48, 16:48] = col
+                Image.fromarray(a).save(d / f"p{i}_cropped_obj0.png")
+
+    assert main(["store", "create", "--name", "main", "--store", service,
+                 "--dim", "32"]) == 0
+    for t in ("original", "natural"):
+        assert main(["embed", "--root", "dataset_cropped", "--type", t,
+                     "--store", service, "--collection", "main",
+                     "--clip-checkpoint", str(ckpt)]) == 0
+    assert main(["delegates", "--store", service,
+                 "--collection", "main"]) == 0
+    assert main(["experiments", "--store", service, "--collection", "main",
+                 "--test-group", "dataset_cropped"]) == 0
+    results = list((tmp_path / "results").rglob("result_*.csv"))
+    assert results and results[0].read_text().count("\n") > 1

@@ -35,7 +35,8 @@ def test_full_lifecycle(server, rng):
     # create + list
     assert call("PUT", f"{base}/collections/prod", {"dim": 8})[0] == 200
     status, cols = call("GET", f"{base}/collections")
-    assert cols == [{"name": "prod", "count": 0}]
+    assert cols == [{"name": "prod", "count": 0, "dim": 8,
+                     "distance": "cosine"}]
 
     # upsert
     vecs = rng.normal(size=(5, 8)).astype(np.float32)
