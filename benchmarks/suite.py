@@ -174,13 +174,86 @@ def bench_gallery_scaling(quick: bool) -> dict:
     return out
 
 
+def bench_gallery_scan_kernel(quick: bool) -> dict:
+    """The serving scan tier: tiled int8 Pallas kernel + approx candidates
+    + exact f32 rescore (vs bench_gallery_scaling's XLA bf16 path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from retrieval_based_object_detection_tpu.gallery import search as S
+    from retrieval_based_object_detection_tpu.ops import int8_scan
+
+    from retrieval_based_object_detection_tpu.utils import platform
+
+    if not platform.is_tpu():
+        return {"skipped": "Pallas scan kernel requires the TPU backend"}
+    sizes = [131_072] if quick else [131_072, 1 << 20]
+    inner = 5 if quick else 20
+    out = {}
+    for n in sizes:
+        @jax.jit
+        def mk(key, n=n):
+            g = jax.random.normal(key, (n, 512), jnp.float32)
+            g = g / jnp.linalg.norm(g, axis=1, keepdims=True)
+            return g, int8_scan.pack_rows_tiled(S.quantize_rows_int8(g))
+
+        gf, gt = mk(jax.random.key(3))
+        gt = jnp.copy(gt)  # force default layout (see gallery/store.py)
+        msk = jnp.ones(n, bool)
+        q = jax.random.normal(jax.random.key(4), (16, 512), jnp.float32)
+
+        @partial(jax.jit, static_argnames=("m",))
+        def run(q, gt, gf, mask, m):
+            def body(i, acc):
+                s, _ = S.int8_scan_topk(q + i * 1e-6, gt, gf, mask,
+                                        k=10, rescore=128)
+                return acc + jnp.sum(s)
+            return jax.lax.fori_loop(0, m, body, jnp.float32(0))
+
+        dt = timeit(lambda: _fetch(run(q, gt, gf, msk, inner)), iters=3)
+        out[f"n={n}"] = {"ms_per_16query_batch": round(dt / inner * 1000, 3)}
+    return out
+
+
+def bench_store_api(quick: bool) -> dict:
+    """Gallery.search API wall time (mask cache, dispatch, packed fetch,
+    Record build). On the axon remote tunnel each call pays ~2 host
+    round trips (~40 ms); on a directly-attached TPU host the overhead
+    over the device loop is sub-ms."""
+    import numpy as np
+
+    from retrieval_based_object_detection_tpu.gallery.schema import (
+        Filter,
+        Payload,
+    )
+    from retrieval_based_object_detection_tpu.gallery.store import Gallery
+
+    n = 20_000 if quick else 100_000
+    rng = np.random.default_rng(0)
+    g = Gallery("api", dim=512, capacity=n)
+    vecs = rng.normal(size=(n, 512)).astype(np.float32)
+    pls = [Payload(data_type="original_images", class_name=f"c{i % 37}",
+                   img_path=f"/i/{i}.jpg") for i in range(n)]
+    g.upsert([f"p{i}" for i in range(n)], vecs, pls)
+    q = rng.normal(size=(16, 512)).astype(np.float32)
+    out = {}
+    for label, kw in (("exact", {"method": "exact"}),
+                      ("serving", {"exact": False}),
+                      ("filtered", {"exact": False,
+                                    "flt": Filter(must={"class_name": "c5"})})):
+        g.search(q, k=10, **kw)  # compile + mask-cache warm
+        dt = timeit(lambda: g.search(q, k=10, **kw), iters=5)
+        out[label] = {"ms_per_16query_batch": round(dt * 1000, 3)}
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--json", default=None)
     ap.add_argument("--only", nargs="*", default=None,
                     choices=["embed", "preprocess", "delegates", "serving",
-                             "gallery"])
+                             "gallery", "scan", "store_api"])
     args = ap.parse_args()
 
     benches = {
@@ -189,6 +262,8 @@ def main() -> None:
         "delegates": bench_delegates,
         "serving": bench_serving,
         "gallery": bench_gallery_scaling,
+        "scan": bench_gallery_scan_kernel,
+        "store_api": bench_store_api,
     }
     results = {}
     for name, fn in benches.items():

@@ -53,12 +53,21 @@ def _store_save(store, path: str) -> None:
     save_store(store, path)
 
 
-def _load_clip(checkpoint: str | None, image_size: int | None = None):
+def _load_clip(checkpoint: str | None, image_size: int | None = None,
+               variant: str | None = None, cache_dir: str = "model"):
     """CLIP params + config: converted checkpoint if given (torch file or
-    a converted orbax dir from `rbod convert-weights`), else random init
-    (clearly warned — useful for pipeline testing without weights)."""
+    a converted orbax dir from `rbod convert-weights`), auto-downloaded
+    official weights if a --clip-variant is named (31:23-27 behaviour),
+    else random init (clearly warned — useful for pipeline testing
+    without weights)."""
     from retrieval_based_object_detection_tpu.models.clip import model as M
 
+    if not checkpoint and variant:
+        from retrieval_based_object_detection_tpu.models.clip.download import (
+            ensure_checkpoint,
+        )
+
+        checkpoint = str(ensure_checkpoint(variant, cache_dir))
     if checkpoint and Path(checkpoint).is_dir():
         import dataclasses
         import json
@@ -350,7 +359,9 @@ def cmd_augment(args) -> int:
 def cmd_embed(args) -> int:
     from retrieval_based_object_detection_tpu.pipelines import embed as ep
 
-    params, config = _load_clip(args.clip_checkpoint)
+    params, config = _load_clip(args.clip_checkpoint,
+                                variant=getattr(args, "clip_variant",
+                                                None))
     store = _store_load(args.store)
     if args.collection not in store:
         # Collection dim follows the loaded tower (ViT-L/14 emits 768-d).
@@ -466,7 +477,9 @@ def cmd_serve(args) -> int:
 
     store = _store_load(args.store)
     gallery = store.get(args.collection)
-    params, config = _load_clip(args.clip_checkpoint)
+    params, config = _load_clip(args.clip_checkpoint,
+                                variant=getattr(args, "clip_variant",
+                                                None))
     detector = RetrievalDetector(
         params, gallery, config,
         delegate_type=args.delegate_type, case=args.case,
@@ -769,6 +782,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--store", default="gallery_store")
     sp.add_argument("--collection", default="default")
     sp.add_argument("--clip-checkpoint")
+    sp.add_argument("--clip-variant",
+                    choices=["ViT-B/32", "ViT-B/16", "ViT-L/14"],
+                    help="auto-download this official OpenAI CLIP "
+                         "checkpoint into model/ (31:23-27)")
     sp.add_argument("--batch-size", type=int, default=64)
     sp.add_argument("--compute-dtype", default="float32",
                     choices=("float32", "bfloat16"))
@@ -807,6 +824,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--store", default="gallery_store")
     sp.add_argument("--collection", default="default")
     sp.add_argument("--clip-checkpoint")
+    sp.add_argument("--clip-variant",
+                    choices=["ViT-B/32", "ViT-B/16", "ViT-L/14"],
+                    help="auto-download this official OpenAI CLIP "
+                         "checkpoint into model/ (31:23-27)")
     sp.add_argument("--delegate-type", default="average")
     sp.add_argument("--case", default="pre_a")
     sp.add_argument("--data-type", default="original_images")
@@ -826,6 +847,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--collection", default="default")
     sp.add_argument("--results-dir", default="results")
     sp.add_argument("--clip-checkpoint")
+    sp.add_argument("--clip-variant",
+                    choices=["ViT-B/32", "ViT-B/16", "ViT-L/14"],
+                    help="auto-download this official OpenAI CLIP "
+                         "checkpoint into model/ (31:23-27)")
     sp.add_argument("--sam-checkpoint")
     sp.add_argument("--sam-variant", choices=["vit_b", "vit_l", "vit_h"],
                     help="auto-download this official SAM checkpoint "

@@ -165,7 +165,12 @@ def load_torch_checkpoint(
     (so ViT-L/14 etc. load with their real layout) unless given."""
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    except RuntimeError:
+        # The official OpenAI releases (clip.load's download, e.g.
+        # ViT-B-32.pt from openaipublic) are TorchScript archives.
+        obj = torch.jit.load(path, map_location="cpu")
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
     config = config or infer_config(obj)

@@ -33,7 +33,11 @@ class TrainConfig:
     learning_rate: float = 1e-4
     weight_decay: float = 0.01
     compute_dtype: str = "bfloat16"
-    remat: bool = True  # rematerialise blocks to trade FLOPs for HBM
+    # Rematerialise the tower to trade FLOPs for HBM. OFF by default:
+    # ViT-B/32 activations fit at practical batches and remat costs
+    # 15-20% measured (v5e, B=64/128 — DESIGN.md "Training"). Enable for
+    # ViT-L-scale towers or very large per-chip batches.
+    remat: bool = False
 
 
 def init_state(
