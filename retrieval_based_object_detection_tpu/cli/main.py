@@ -543,7 +543,9 @@ def cmd_e2e(args) -> int:
                        "--store", args.store, "--collection",
                        args.collection]
                       + (["--clip-checkpoint", args.clip_checkpoint]
-                         if args.clip_checkpoint else []))
+                         if args.clip_checkpoint else [])
+                      + (["--clip-variant", args.clip_variant]
+                         if args.clip_variant else []))
             if rc:
                 return rc
     rc = main(["delegates", "--store", args.store,
@@ -580,7 +582,8 @@ def cmd_wizard(args) -> int:
         if not cols:
             return prompt_value("Collection name", default="default")
         labels = [f"{n} ({c} points)" for n, c in cols]
-        return prompt_choice("Collection?", labels).split()[0]
+        # rsplit on the count suffix — collection names may contain spaces.
+        return prompt_choice("Collection?", labels).rsplit(" (", 1)[0]
 
     stage = prompt_choice(
         "Which stage do you want to run?",
@@ -589,7 +592,9 @@ def cmd_wizard(args) -> int:
          "experiments", "analyze", "serve", "e2e"])
     img_type = None
     if stage in ("ingest", "label", "review", "review-web", "restore",
-                 "crop", "segment", "augment", "embed"):
+                 "crop", "segment", "segment-web", "augment", "embed"):
+        # segment-web takes no --type flag, but the type still shapes its
+        # default directory below.
         img_type = prompt_choice("Image type?", ["original", "natural"],
                                  default="original")
     argv: list[str] = [stage]

@@ -154,13 +154,15 @@ class GalleryClient:
     def search(self, queries, k: int = 10, flt: Filter | None = None,
                exact: bool = True, with_vectors: bool = False,
                method: str | None = None) -> list[list[Record]]:
-        if method is None:
-            method = "exact" if exact else "bf16"
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None, :]
         body = _filter_body(flt)
-        body.update(queries=queries.tolist(), k=k, method=method)
+        # method=None -> "auto": the SERVER's Gallery.search picks the
+        # tier (exact / bf16 / int8-at-scale), same as a local gallery.
+        body.update(queries=queries.tolist(), k=k,
+                    method=method or "auto", exact=exact,
+                    with_vectors=with_vectors)
         out = _request("POST", self._url("/points/search"), body)
         return [[self._record(h) for h in hits] for hits in out["results"]]
 

@@ -118,14 +118,24 @@ class GalleryService:
 
     def search(self, name: str, body: dict):
         with self.lock:
+            # method=None/"auto" defers to Gallery.search's auto-routing
+            # (exact when exact=True, else bf16/int8 by scale+backend).
+            method = body.get("method", "exact")
+            if method == "auto":
+                method = None
+            with_vectors = bool(body.get("with_vectors", False))
             results = self.store.get(name).search(
                 np.asarray(body["queries"], np.float32),
                 k=int(body.get("k", 10)),
                 flt=_filter_from(body),
-                method=body.get("method", "exact"))
+                exact=bool(body.get("exact", True)),
+                with_vectors=with_vectors,
+                method=method)
             return {"results": [
                 [{"id": h.id, "score": h.score,
-                  "payload": h.payload.to_dict()} for h in hits]
+                  "payload": h.payload.to_dict(),
+                  **({"vector": h.vector.tolist()}
+                     if h.vector is not None else {})} for h in hits]
                 for hits in results
             ]}
 

@@ -54,8 +54,12 @@ def saliency_map(images: jax.Array, border: int = 8, pool: int = 9
     ], axis=1)  # [B, S, 3]
     # Shadowed background is approximately scaled background.
     seeds = jnp.concatenate([seeds, 0.7 * seeds], axis=1)
-    d = jnp.linalg.norm(x[:, None] - seeds[:, :, None, None, :], axis=-1)
-    score = jnp.min(d, axis=1)  # [B, H, W]
+    # Running minimum over seeds: one [B, H, W] live buffer instead of a
+    # [B, S, H, W, 3] broadcast (10x the image batch in f32).
+    score = jnp.full(x.shape[:3], jnp.inf, jnp.float32)
+    for s in range(seeds.shape[1]):
+        d = jnp.linalg.norm(x - seeds[:, s][:, None, None, :], axis=-1)
+        score = jnp.minimum(score, d)
     # Smooth with an avg pool (reduce_window keeps shapes static).
     score = jax.lax.reduce_window(
         score, 0.0, jax.lax.add, (1, pool, pool), (1, 1, 1), "SAME"
@@ -68,11 +72,9 @@ def _dilate(m: jax.Array, win: int) -> jax.Array:
         m, False, jax.lax.bitwise_or, (1, win, win), (1, 1, 1), "SAME")
 
 
-@partial(jax.jit, static_argnames=("q_lo", "q_hi", "rel_threshold"))
+@partial(jax.jit, static_argnames=("rel_threshold",))
 def box_from_saliency(
     score: jax.Array,  # [B, H, W]
-    q_lo: float = 0.01,   # kept for signature compat (blob box ignores it)
-    q_hi: float = 0.99,
     rel_threshold: float = 0.35,
 ) -> tuple[jax.Array, jax.Array]:
     """→ (boxes [B, 4] xyxy pixels, conf [B]).
@@ -97,7 +99,9 @@ def box_from_saliency(
     px = (flat_peak % W).astype(jnp.float32)
     seed = (ys == py[:, None, None]) & (xs == px[:, None, None])
     win = 9  # grows 4 px/iter; also bridges sub-smoothing-scale gaps
-    iters = max(H, W) // 8 + 2
+    # Enough iterations to cross the full frame from any peak position
+    # (a reach cap would truncate objects wider than half the image).
+    iters = max(H, W) // 4 + 2
 
     def body(_, m):
         return _dilate(m, win) & fg
@@ -127,7 +131,6 @@ def box_from_saliency(
     swap = (mass2 > mass1)[:, None, None]
     winner = jnp.where(swap, blob2, blob)
     mass_win = jnp.maximum(mass1, mass2)
-    mass_lose = jnp.minimum(mass1, mass2)
 
     n_blob = jnp.sum(winner.reshape(B, -1), axis=1)
     empty = n_blob < 16  # fewer than 16 blob pixels -> no detection
@@ -142,8 +145,12 @@ def box_from_saliency(
     y2 = jnp.where(empty, 0.0, y2)
     boxes = jnp.stack([x1, y1, x2, y2], axis=1)
 
-    conf = jnp.where(
-        empty, 0.0, mass_win / jnp.maximum(mass_win + mass_lose, 1e-6))
+    # Winner's share of ALL above-threshold saliency mass: diffuse or
+    # heavily cluttered scenes CAN fall below labeling's conf gate (0.25,
+    # 11:159) and be rejected — a pure winner/loser dominance ratio would
+    # floor at 0.5 and make the gate dead.
+    mass_total = jnp.sum(rel, axis=(1, 2))
+    conf = jnp.where(empty, 0.0, mass_win / jnp.maximum(mass_total, 1e-6))
     return boxes, conf
 
 

@@ -37,3 +37,23 @@ def test_cluttered_quality(proposer):
     assert m["recall@0.5"] >= 0.85, m
     assert m["mean_iou"] >= 0.70, m
     assert m["detected_frac"] >= 0.90, m
+
+
+def test_confidence_discriminates_ambiguity(proposer):
+    """Confidence = winner blob's share of total foreground mass, so it
+    must DROP toward ~0.5 when a second, equally salient object competes
+    (a pure winner-vs-runner-up dominance ratio would floor at 0.5 and
+    stay ~1.0 here, making labeling's 0.25 gate dead)."""
+    import numpy as np
+
+    from benchmarks.detector_quality import _paint_shape
+
+    rng = np.random.default_rng(3)
+    one = np.full((240, 320, 3), 225, np.float32)
+    _paint_shape(one, rng, 120, 90, 45, 40, (180, 30, 30))
+    two = one.copy()
+    _paint_shape(two, rng, 120, 240, 45, 40, (30, 30, 180))
+    _, conf = proposer(np.stack([one, two]).astype(np.uint8))
+    assert conf[0, 0] > 0.85, conf
+    assert conf[1, 0] < 0.65, conf
+    assert conf[0, 0] - conf[1, 0] > 0.25, conf

@@ -103,3 +103,18 @@ def test_cli_stages_against_remote_store(service, tmp_path, monkeypatch,
                  "--test-group", "dataset_cropped"]) == 0
     results = list((tmp_path / "results").rglob("result_*.csv"))
     assert results and results[0].read_text().count("\n") > 1
+
+
+def test_client_search_with_vectors_and_auto_method(service, rng):
+    store = RemoteVectorStore(service)
+    g = store.create_collection("vecs", dim=8)
+    vecs = rng.normal(size=(6, 8)).astype(np.float32)
+    g.upsert([f"v{i}" for i in range(6)], vecs,
+             [Payload(data_type="original_images", class_name="x",
+                      img_path=f"/v/{i}.jpg") for i in range(6)])
+    hits = g.search(vecs[2], k=2, with_vectors=True)  # exact default
+    assert hits[0][0].id == "v2" and hits[0][0].vector is not None
+    np.testing.assert_allclose(hits[0][0].vector, vecs[2], rtol=1e-6)
+    # method=None + exact=False -> server-side auto routing, not an error
+    hits2 = g.search(vecs[2], k=2, exact=False, method=None)
+    assert hits2[0][0].id == "v2"
