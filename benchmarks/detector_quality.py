@@ -135,6 +135,74 @@ def evaluate(proposer, family: str, n: int = 64, seed: int = 0,
     }
 
 
+def write_labeled_tree(root, rng, families=("studio", "cluttered"),
+                       n_per_family: int = 48, size: int = 128) -> None:
+    """Synthetic labeled dataset in the pipeline's directory contract
+    (original_images/<class>/<img>.png + YOLO .txt), for training the
+    TinyDet that fills the YOLOv8s slot."""
+    from pathlib import Path
+
+    from PIL import Image
+
+    for family in families:
+        d = Path(root) / "original_images" / family
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(n_per_family):
+            img, gt = make_scene(rng, family, h=size, w=size)
+            Image.fromarray(img).save(d / f"s{i}.png")
+            xc = (gt[0] + gt[2]) / 2 / size
+            yc = (gt[1] + gt[3]) / 2 / size
+            w = (gt[2] - gt[0]) / size
+            h = (gt[3] - gt[1]) / size
+            (d / f"s{i}.txt").write_text(
+                f"0 {xc:.6f} {yc:.6f} {w:.6f} {h:.6f}\n")
+
+
+def evaluate_tinydet(tmp_dir: str | None = None, epochs: int = 30) -> dict:
+    """Train TinyDet on synthetic scenes and score it with the same IoU
+    harness (at its native square input size)."""
+    import tempfile
+
+    from retrieval_based_object_detection_tpu.models.detector import tinydet
+    from retrieval_based_object_detection_tpu.train.detector_loop import (
+        DetFitConfig,
+        TinyDetDetector,
+        fit_detector,
+    )
+
+    rng = np.random.default_rng(7)
+    tmp = tmp_dir or tempfile.mkdtemp(prefix="tinydet_bench_")
+    cfg = tinydet.TinyDetConfig(image_size=128)
+    write_labeled_tree(tmp, rng, n_per_family=48, size=cfg.image_size)
+    params, metrics = fit_detector(
+        cfg, DetFitConfig(root_dir=tmp, img_type="original",
+                          epochs=epochs, batch_size=16))
+    det = TinyDetDetector(params, cfg, conf_threshold=0.25)
+
+    def square_eval(family):
+        imgs, gts = [], []
+        eval_rng = np.random.default_rng(99)
+        for _ in range(32):
+            im, gt = make_scene(eval_rng, family, h=cfg.image_size,
+                                w=cfg.image_size)
+            imgs.append(im)
+            gts.append(gt)
+        boxes, conf = det(np.stack(imgs))
+        ious = []
+        for i in range(32):
+            if conf[i, 0] < 0.25:
+                ious.append(0.0)
+                continue
+            ious.append(iou(np.asarray(boxes[i, 0]), gts[i]))
+        ious = np.array(ious)
+        return {"family": family, "recall@0.5": float((ious >= 0.5).mean()),
+                "mean_iou": float(ious.mean())}
+
+    return {"train_loss": float(metrics.get("loss", float("nan"))),
+            "studio": square_eval("studio"),
+            "cluttered": square_eval("cluttered")}
+
+
 def main():
     from retrieval_based_object_detection_tpu.models.detector import (
         SaliencyProposer,
@@ -145,6 +213,7 @@ def main():
     prop = SaliencyProposer()
     for family in ("studio", "cluttered"):
         print(evaluate(prop, family))
+    print({"tinydet": evaluate_tinydet()})
 
 
 if __name__ == "__main__":

@@ -95,6 +95,55 @@ def sharded_topk(
     )(queries, gallery, mask)
 
 
+@partial(jax.jit,
+         static_argnames=("k", "mesh", "rescore", "tile_n", "interpret"))
+def sharded_int8_topk(
+    queries: jax.Array,        # [Q, D] replicated, unnormalised f32
+    gallery_tiled: jax.Array,  # [S*(R/tile_n)*D, tile_n] int8, sharded
+    gallery_f32: jax.Array,    # [S*R, D] normalised f32, sharded (rescore)
+    mask: jax.Array,           # [S*R] bool, sharded
+    mesh: Mesh,
+    k: int,
+    rescore: int = 128,
+    tile_n: int = 4096,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Distributed serving scan: each shard runs the tiled int8 Pallas
+    kernel + exact f32 rescore over ITS rows (quarter HBM residency, the
+    measured per-chip DMA floor — ops/int8_scan.py), then one
+    ``all_gather`` of [Q, k] candidates merges shards. Per-chip read
+    volume scales 1/shards: this is the path that takes the 1M-row scan
+    under 1 ms (single-chip floor is 1.6 ms; see DESIGN.md)."""
+
+    def local(q, gt, gf, m):
+        shard_id = jax.lax.axis_index(AXIS)
+        rows_per = gf.shape[0]
+        scores, idx = search_lib.int8_scan_topk(
+            q, gt, gf, m, k=k, rescore=rescore, tile_n=tile_n,
+            interpret=interpret)
+        gidx = idx + shard_id * rows_per
+        all_scores = jax.lax.all_gather(scores, AXIS)  # [S, Q, k]
+        all_idx = jax.lax.all_gather(gidx, AXIS)
+        S = all_scores.shape[0]
+        flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(q.shape[0],
+                                                              S * k)
+        flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(q.shape[0],
+                                                           S * k)
+        best_s, pos = jax.lax.top_k(flat_s, k)
+        best_i = jnp.take_along_axis(flat_i, pos, axis=1)
+        return best_s, best_i
+
+    from jax import shard_map
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS, None), P(AXIS, None), P(AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(queries, gallery_tiled, gallery_f32, mask)
+
+
 class ShardedGallerySearcher:
     """Immutable search view over a Gallery's rows, sharded across a mesh.
 
@@ -108,6 +157,27 @@ class ShardedGallerySearcher:
         self.mesh = mesh
         self.n_rows = vectors.shape[0]
         self.dev_vectors, self.dev_mask = build_sharded(vectors, mask, mesh)
+        self._dev_tiled: jax.Array | None = None  # int8 scan mirror
+        self._tile_n = 0
+
+    def _build_int8(self) -> None:
+        """Per-shard tiled int8 mirror (lazy; see ops/int8_scan.py). Built
+        host-side and device_put with the row sharding — the default
+        layout matters (a jit-output transpose is only a layout
+        annotation and re-strides the kernel's DMA; gallery/store.py)."""
+        S = self.mesh.shape[AXIS]
+        total = self.dev_vectors.shape[0]
+        R = total // S
+        self._tile_n = next(t for t in (4096, 2048, 1024, 512, 256)
+                            if R % t == 0)
+        rows = np.asarray(self.dev_vectors)  # normalised, padded [S*R, D]
+        q = np.clip(np.round(rows * 127.0), -127, 127).astype(np.int8)
+        D = q.shape[1]
+        tiled = (q.reshape(S * (R // self._tile_n), self._tile_n, D)
+                 .transpose(0, 2, 1)
+                 .reshape(S * (R // self._tile_n) * D, self._tile_n))
+        self._dev_tiled = jax.device_put(
+            tiled, NamedSharding(self.mesh, P(AXIS, None)))
 
     @classmethod
     def from_gallery(cls, gallery, mesh: Mesh, flt=None
@@ -117,16 +187,34 @@ class ShardedGallerySearcher:
         mask = gallery._payloads.mask(flt)
         return cls(vectors, mask, mesh)
 
-    def search(self, queries: np.ndarray, k: int = 10, exact: bool = True
-               ) -> tuple[np.ndarray, np.ndarray]:
+    def search(self, queries: np.ndarray, k: int = 10, exact: bool = True,
+               method: str | None = None) -> tuple[np.ndarray, np.ndarray]:
+        """``method``: "exact"/"bf16" (XLA matmul tier) or "int8" (tiled
+        Pallas scan + exact f32 rescore per shard). Defaults from
+        ``exact`` like Gallery.search."""
+        if method is None:
+            method = "exact" if exact else "bf16"
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None]
         # Per-shard top-k runs on each shard's local rows, so k must also
         # fit the per-shard row count.
         per_shard = self.dev_vectors.shape[0] // self.mesh.shape[AXIS]
-        scores, idx = sharded_topk(
-            jnp.asarray(queries), self.dev_vectors, self.dev_mask,
-            self.mesh, k=min(k, self.n_rows, per_shard), exact=exact,
-        )
+        k_eff = min(k, self.n_rows, per_shard)
+        if method == "int8":
+            if self._dev_tiled is None:
+                self._build_int8()
+            from retrieval_based_object_detection_tpu.utils import platform
+
+            scores, idx = sharded_int8_topk(
+                jnp.asarray(queries), self._dev_tiled, self.dev_vectors,
+                self.dev_mask, self.mesh, k=k_eff,
+                rescore=min(max(4 * k_eff, 128), per_shard),
+                tile_n=self._tile_n, interpret=not platform.is_tpu(),
+            )
+        else:
+            scores, idx = sharded_topk(
+                jnp.asarray(queries), self.dev_vectors, self.dev_mask,
+                self.mesh, k=k_eff, exact=(method == "exact"),
+            )
         return np.asarray(scores), np.asarray(idx)

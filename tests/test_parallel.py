@@ -114,3 +114,23 @@ def test_train_step_dp_only(rng):
     labels = rng.integers(0, 3, size=(16,)).astype(np.int32)
     _, _, metrics = step(params, opt_state, images, labels)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sharded_int8_matches_exact(rng):
+    """Per-shard tiled int8 Pallas scan (interpret off-TPU) + f32 rescore
+    + all_gather merge equals the exact sharded path."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("gallery",))
+    n, d = 700, 64
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    mask = np.ones(n, bool)
+    mask[::11] = False
+    q = rng.normal(size=(3, d)).astype(np.float32)
+
+    s = ShardedGallerySearcher(vectors, mask, mesh)
+    ex_s, ex_i = s.search(q, k=5, method="exact")
+    i8_s, i8_i = s.search(q, k=5, method="int8")
+    np.testing.assert_allclose(i8_s, ex_s, atol=1e-5)
+    assert (i8_i == ex_i).mean() > 0.9  # ties may permute
