@@ -68,6 +68,57 @@ def masked_cosine_topk(
     return top_scores, top_idx
 
 
+@partial(jax.jit, static_argnames=("k", "distance", "exact"))
+def masked_metric_topk(
+    queries: jax.Array,  # [Q, D] raw (NOT normalised)
+    gallery: jax.Array,  # [N, D] raw rows, padded
+    mask: jax.Array,     # [N] bool
+    k: int,
+    distance: str,       # "dot" | "euclid" | "manhattan"
+    exact: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k for the non-cosine metrics the reference's collection
+    manager offers (qdrant_manager.py:61-65). Scores are
+    higher-is-better: the dot product, or NEGATIVE L2/L1 distance.
+
+    dot/euclid ride the MXU (euclid via the ‖q‖²−2q·g+‖g‖² expansion);
+    manhattan has no matmul form, so it streams gallery chunks through
+    an elementwise |q−g| reduction — the compatibility tier, O(Q·N·D)
+    VPU work."""
+    q = queries.astype(jnp.float32)
+    g = gallery.astype(jnp.float32)
+    precision = jax.lax.Precision.HIGHEST if exact else None
+    if distance == "manhattan":
+        chunk = 1024
+        n = g.shape[0]
+        pad = (-n) % chunk
+        gp = jnp.pad(g, ((0, pad), (0, 0)))
+
+        def body(c):
+            return -jnp.sum(jnp.abs(q[:, None, :] - c[None, :, :]), axis=-1)
+
+        scores = jax.lax.map(body, gp.reshape(-1, chunk, g.shape[1]))
+        scores = jnp.moveaxis(scores, 1, 0).reshape(q.shape[0], -1)[:, :n]
+    else:
+        if exact:
+            dots = jnp.dot(q, g.T, precision=precision,
+                           preferred_element_type=jnp.float32)
+        else:
+            dots = jnp.dot(q.astype(jnp.bfloat16), g.astype(jnp.bfloat16).T,
+                           preferred_element_type=jnp.float32)
+        if distance == "dot":
+            scores = dots
+        elif distance == "euclid":
+            q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+            g_sq = jnp.sum(g * g, axis=1)
+            d2 = jnp.maximum(q_sq - 2.0 * dots + g_sq[None, :], 0.0)
+            scores = -jnp.sqrt(d2)
+        else:
+            raise ValueError(f"unsupported distance: {distance}")
+    scores = jnp.where(mask[None, :], scores, NEG_INF)
+    return jax.lax.top_k(scores, k)
+
+
 @partial(jax.jit, static_argnames=("exact",))
 def masked_cosine_scores(
     queries: jax.Array,

@@ -90,7 +90,9 @@ class Gallery:
 
     def __init__(self, name: str, dim: int = 512, capacity: int = 1024,
                  distance: str = "cosine"):
-        if distance not in ("cosine", "dot", "euclid"):
+        # The four metrics the reference's collection manager offers
+        # (qdrant_manager.py:61-65).
+        if distance not in ("cosine", "dot", "euclid", "manhattan"):
             raise ValueError(f"unsupported distance: {distance}")
         self.name = name
         self.dim = dim
@@ -346,14 +348,18 @@ class Gallery:
             self._dirty_lo, self._dirty_hi = lo, hi
 
     def _normalized_rows(self, lo: int, hi: int, out_rows: int) -> np.ndarray:
-        """Host rows [lo, hi) L2-normalised into a zero-padded buffer of
-        ``out_rows`` rows."""
+        """Host rows [lo, hi) into a zero-padded buffer of ``out_rows``
+        rows — L2-normalised for cosine galleries (so queries pay one
+        matmul, not a per-query normalisation pass), raw for the other
+        metrics (normalising would change dot/euclid/manhattan)."""
         buf = np.zeros((out_rows, self.dim), dtype=np.float32)
         m = hi - lo
         if m > 0:
             rows = self._vectors[lo:hi]
-            norms = np.linalg.norm(rows, axis=1, keepdims=True)
-            buf[:m] = rows / np.maximum(norms, 1e-12)
+            if self.distance == "cosine":
+                norms = np.linalg.norm(rows, axis=1, keepdims=True)
+                rows = rows / np.maximum(norms, 1e-12)
+            buf[:m] = rows
         return buf
 
     def _sync_mirrors(self, f32: bool = False, bf16: bool = False,
@@ -459,6 +465,8 @@ class Gallery:
         if method is None:
             if exact:
                 method = "exact"
+            elif self.distance != "cosine":
+                method = "bf16"  # int8 quantisation assumes unit rows
             else:
                 from retrieval_based_object_detection_tpu.utils import (
                     platform,
@@ -466,6 +474,10 @@ class Gallery:
 
                 method = ("int8" if n >= self.INT8_SCAN_MIN_ROWS
                           and platform.is_tpu() else "bf16")
+        if method == "int8" and self.distance != "cosine":
+            raise ValueError(
+                "method='int8' requires a cosine collection (the int8 "
+                "tier quantises unit-norm rows)")
         queries = np.asarray(queries, dtype=np.float32)
         single = queries.ndim == 1
         if single:
@@ -499,11 +511,17 @@ class Gallery:
                     jnp.asarray(queries), self._dev_int8, self._dev_f32,
                     mask, k=k_eff, rescore=rescore,
                 )
-        else:
+        elif self.distance == "cosine":
             g = self._dev_f32 if method == "exact" else self._dev_bf16
             scores, idx = search_lib.masked_cosine_topk(
                 jnp.asarray(queries), g, mask,
                 k=k_eff, exact=(method == "exact"), gallery_normalized=True,
+            )
+        else:
+            g = self._dev_f32 if method == "exact" else self._dev_bf16
+            scores, idx = search_lib.masked_metric_topk(
+                jnp.asarray(queries), g, mask,
+                k=k_eff, distance=self.distance, exact=(method == "exact"),
             )
         if self._padded < (1 << 24):
             # One packed device->host fetch instead of two: each fetch is

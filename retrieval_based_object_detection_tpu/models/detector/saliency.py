@@ -84,6 +84,17 @@ def box_from_saliency(
     masked dilation). Confidence = the blob's share of total foreground
     saliency mass.
     """
+    B, H0, W0 = score.shape
+    # Blob geometry runs on a coarse grid: the map is already pool-
+    # smoothed, so stride-ds avg-pooling loses nothing a box needs, and
+    # the flood-fill's iterated dilations get ds³ cheaper (at 480×640×16
+    # the full-res fill cost ~30 ms/batch in the serving path; coarse is
+    # sub-ms).
+    ds = max(1, max(H0, W0) // 160)
+    if ds > 1:
+        score = jax.lax.reduce_window(
+            score, 0.0, jax.lax.add, (1, ds, ds), (1, ds, ds), "VALID"
+        ) / (ds * ds)
     B, H, W = score.shape
     floor = jnp.percentile(score.reshape(B, -1), 20.0, axis=1)
     peak = jnp.max(score.reshape(B, -1), axis=1)
@@ -144,6 +155,9 @@ def box_from_saliency(
     x2 = jnp.where(empty, 0.0, x2)
     y2 = jnp.where(empty, 0.0, y2)
     boxes = jnp.stack([x1, y1, x2, y2], axis=1)
+    if ds > 1:  # back to input pixels (generous by up to ds-1 px)
+        boxes = jnp.clip(boxes * ds,
+                         0, jnp.asarray([W0, H0, W0, H0], jnp.float32))
 
     # Winner's share of ALL above-threshold saliency mass: diffuse or
     # heavily cluttered scenes CAN fall below labeling's conf gate (0.25,

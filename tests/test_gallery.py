@@ -197,3 +197,45 @@ def test_point_ids_match_reference_scheme(tmp_path):
                "is_segmented": False, "is_augmented": True}
     key = "c::medoid::original_images::False::True"
     assert delegate_id(payload, "medoid") == hashlib.md5(key.encode()).hexdigest()
+
+
+def test_non_cosine_distances_match_bruteforce(rng):
+    """The reference's manager offers COSINE/EUCLID/DOT/MANHATTAN
+    (qdrant_manager.py:61-65); each must actually govern search order."""
+    from retrieval_based_object_detection_tpu.gallery.store import Gallery
+
+    n, d, k = 120, 16, 5
+    vecs = rng.normal(size=(n, d)).astype(np.float32) * 3
+    q = rng.normal(size=(2, d)).astype(np.float32)
+    pls = [Payload(data_type="original_images", class_name="c",
+                   img_path=f"/x/{i}.jpg") for i in range(n)]
+
+    def brute(metric):
+        if metric == "dot":
+            s = q @ vecs.T
+        elif metric == "euclid":
+            s = -np.linalg.norm(q[:, None] - vecs[None], axis=-1)
+        else:  # manhattan
+            s = -np.abs(q[:, None] - vecs[None]).sum(-1)
+        return np.argsort(-s, axis=1)[:, :k], np.sort(s, axis=1)[:, ::-1][:, :k]
+
+    for metric in ("dot", "euclid", "manhattan"):
+        g = Gallery(metric, dim=d, distance=metric)
+        g.upsert([f"p{i}" for i in range(n)], vecs, pls)
+        hits = g.search(q, k=k)
+        ref_i, ref_s = brute(metric)
+        got_i = np.array([[int(r.id[1:]) for r in h] for h in hits])
+        got_s = np.array([[r.score for r in h] for h in hits])
+        np.testing.assert_array_equal(got_i, ref_i, err_msg=metric)
+        np.testing.assert_allclose(got_s, ref_s, rtol=1e-4, atol=1e-4,
+                                   err_msg=metric)
+
+
+def test_int8_method_rejected_on_non_cosine(rng):
+    from retrieval_based_object_detection_tpu.gallery.store import Gallery
+
+    g = Gallery("dotty", dim=8, distance="dot")
+    g.upsert(["a"], rng.normal(size=(1, 8)).astype(np.float32),
+             [Payload(data_type="original_images", class_name="c")])
+    with pytest.raises(ValueError, match="cosine"):
+        g.search(rng.normal(size=8).astype(np.float32), k=1, method="int8")
