@@ -128,17 +128,59 @@ class SamPredictor:
             masks, iou = masks[1:], iou[1:]  # tokens 1..3 (multimask)
         else:
             masks, iou = masks[:1], iou[:1]
+        return (_masks_to_original(masks, (nh, nw), (oh, ow), S), iou)
 
-        # Upsample logits to the padded square, crop the content area,
-        # resize to the original resolution, threshold at 0.
-        out = []
-        from PIL import Image
+    def segment_batch(
+        self,
+        images: list[np.ndarray],   # [H_i, W_i, 3] uint8, any sizes
+        point_coords: list[np.ndarray] | None = None,  # per-image [P, 2]
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Batched encode→decode for throughput jobs (the auto-segment
+        stage): ONE encoder dispatch for the whole batch instead of a
+        set_image per image — the 1024² ViT underutilises the chip at
+        batch 1 and each dispatch pays a host round trip. Defaults to
+        the reference's center-point prompt (22a:141-143). Returns
+        per-image (3 candidate masks at original resolution, scores)."""
+        S = self.config.img_size
+        padded, hw = [], []
+        pts = np.zeros((len(images), 1, 2), np.float32)
+        for i, img in enumerate(images):
+            p, (nh, nw) = preprocess_image(img, S)
+            padded.append(p)
+            hw.append(((nh, nw), img.shape[:2]))
+            oh, ow = img.shape[:2]
+            raw = (np.asarray(point_coords[i], np.float32)
+                   if point_coords is not None
+                   else np.array([[ow / 2, oh / 2]], np.float32))
+            pts[i, 0] = ((raw[0, 0] * (nw / ow) + 0.5) / S,
+                         (raw[0, 1] * (nh / oh) + 0.5) / S)
+        emb = _encode(self.params["encoder"], jnp.asarray(np.stack(padded)),
+                      self.config.encoder, self.compute_dtype)
+        masks, iou = _decode(
+            self.params["decoder"], emb, jnp.asarray(pts),
+            jnp.ones((len(images), 1), np.float32), self.config.decoder)
+        masks = np.asarray(masks)[:, 1:]  # multimask tokens 1..3
+        iou = np.asarray(iou)[:, 1:]
+        return [
+            (_masks_to_original(masks[i], *hw[i], S), iou[i])
+            for i in range(len(images))
+        ]
 
-        for m in masks:
-            big = np.asarray(Image.fromarray(m.astype(np.float32)).resize(
-                (S, S), Image.BILINEAR))
-            crop = big[: int(nh), : int(nw)]
-            full = np.asarray(Image.fromarray(crop).resize(
-                (ow, oh), Image.BILINEAR))
-            out.append(full > 0.0)
-        return np.stack(out), iou
+
+def _masks_to_original(mask_logits: np.ndarray, resized_hw, orig_hw,
+                       img_size: int) -> np.ndarray:
+    """[M, 4g, 4g] logits → [M, H, W] bool: upsample to the padded
+    square, crop the content area, resize to original, threshold at 0."""
+    from PIL import Image
+
+    nh, nw = resized_hw
+    oh, ow = orig_hw
+    out = []
+    for m in mask_logits:
+        big = np.asarray(Image.fromarray(m.astype(np.float32)).resize(
+            (img_size, img_size), Image.BILINEAR))
+        crop = big[: int(nh), : int(nw)]
+        full = np.asarray(Image.fromarray(crop).resize(
+            (ow, oh), Image.BILINEAR))
+        out.append(full > 0.0)
+    return np.stack(out)

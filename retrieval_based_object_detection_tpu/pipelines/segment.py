@@ -48,19 +48,29 @@ def apply_mask_rgba(img_rgb: np.ndarray, mask: np.ndarray) -> np.ndarray:
     return rgba
 
 
-def run_auto_segment(cfg: SegmentConfig, predictor) -> SegmentResult:
+def run_auto_segment(cfg: SegmentConfig, predictor,
+                     batch_size: int = 8) -> SegmentResult:
     """``predictor`` is any object with set_image/predict — ours or a
-    converted-checkpoint SAM."""
+    converted-checkpoint SAM. When it also exposes ``segment_batch``
+    (our SamPredictor), images stream through the encoder in fixed-size
+    batches: one device dispatch per batch instead of per image, with
+    the tail chunk padded to the batch size so a job compiles exactly
+    once."""
     from PIL import Image
 
     n_ok = n_fail = 0
     classes = (cfg.classes if cfg.classes is not None
                else tree.list_classes(cfg.src_root, cfg.img_type))
+    work: list[tuple] = []  # (img_path, dst_path)
     for cls in classes:
         dst_dir = tree.type_dir(cfg.dst_root, cfg.img_type) / cls
         dst_dir.mkdir(parents=True, exist_ok=True)
         for img_path in tree.list_images(cfg.src_root, cfg.img_type, cls,
                                          cfg.suffixes):
+            work.append((img_path, dst_dir / f"{img_path.stem}.png"))
+
+    if not hasattr(predictor, "segment_batch"):
+        for img_path, dst in work:
             try:
                 with Image.open(img_path) as im:
                     rgb = np.asarray(im.convert("RGB"))
@@ -72,8 +82,37 @@ def run_auto_segment(cfg: SegmentConfig, predictor) -> SegmentResult:
                     multimask_output=True,
                 )
                 best = masks[int(np.argmax(scores))]
-                Image.fromarray(apply_mask_rgba(rgb, best)).save(
-                    dst_dir / f"{img_path.stem}.png")
+                Image.fromarray(apply_mask_rgba(rgb, best)).save(dst)
+                n_ok += 1
+            except Exception:
+                n_fail += 1
+        return SegmentResult(n_segmented=n_ok, n_failed=n_fail)
+
+    for start in range(0, len(work), batch_size):
+        chunk = work[start:start + batch_size]
+        rgbs, dsts = [], []
+        for img_path, dst in chunk:
+            try:
+                with Image.open(img_path) as im:
+                    rgbs.append(np.asarray(im.convert("RGB")))
+                dsts.append(dst)
+            except Exception:
+                n_fail += 1
+        if not rgbs:
+            continue
+        real = len(rgbs)
+        # Pad the tail with a repeat of the last image: the encoder
+        # batch shape stays static, so the whole job is one compile.
+        padded = rgbs + [rgbs[-1]] * (batch_size - real)
+        try:
+            results = predictor.segment_batch(padded)[:real]
+        except Exception:
+            n_fail += real
+            continue
+        for rgb, dst, (masks, scores) in zip(rgbs, dsts, results):
+            try:
+                best = masks[int(np.argmax(scores))]
+                Image.fromarray(apply_mask_rgba(rgb, best)).save(dst)
                 n_ok += 1
             except Exception:
                 n_fail += 1

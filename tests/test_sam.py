@@ -116,3 +116,21 @@ def test_manual_session(tmp_path, sam, rng):
     assert [p.name for p in s2.items] == ["m1.jpg", "m2.jpg"]
     s3 = seg.ManualSegmentSession(sam, d, only_unprocessed=False)
     assert len(s3.items) == 3
+
+
+def test_segment_batch_matches_per_image(rng):
+    """Batched encode/decode must reproduce the set_image/predict path
+    (same centre-point prompt, same best-of-3 candidates)."""
+    from retrieval_based_object_detection_tpu.models.sam import model as SM
+
+    sam = SM.SamPredictor(SM.init_params(SM.SAM_TINY, 0), SM.SAM_TINY)
+    imgs = [rng.integers(0, 255, (60, 80, 3), dtype=np.uint8),
+            rng.integers(0, 255, (90, 50, 3), dtype=np.uint8)]
+    batched = sam.segment_batch(imgs)
+    for img, (masks_b, iou_b) in zip(imgs, batched):
+        h, w = img.shape[:2]
+        sam.set_image(img)
+        masks_s, iou_s = sam.predict(np.array([[w / 2, h / 2]]),
+                                     np.array([1]), multimask_output=True)
+        np.testing.assert_allclose(iou_b, iou_s, atol=1e-5)
+        assert (masks_b == masks_s).mean() > 0.999
