@@ -155,16 +155,46 @@ def cmd_store(args) -> int:
     return 0
 
 
+def _load_tinydet(checkpoint: str, conf_threshold: float):
+    """TinyDetDetector from a `rbod fit-detector` output dir."""
+    import dataclasses
+    import json
+
+    from retrieval_based_object_detection_tpu.models.detector import tinydet
+    from retrieval_based_object_detection_tpu.train.detector_loop import (
+        TinyDetDetector,
+    )
+    from retrieval_based_object_detection_tpu.utils.checkpoint import (
+        load_params,
+    )
+
+    cfg_file = Path(checkpoint) / "tinydet_config.json"
+    config = (tinydet.TinyDetConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in json.loads(cfg_file.read_text()).items()})
+        if cfg_file.exists() else tinydet.TinyDetConfig())
+    params = load_params(Path(checkpoint) / "params",
+                         like=tinydet.init_params(config, seed=0))
+    return TinyDetDetector(params, config, conf_threshold=conf_threshold)
+
+
 def cmd_label(args) -> int:
     from retrieval_based_object_detection_tpu.pipelines.labeling import (
         LabelConfig,
         run_labeling,
     )
 
+    detector = None
+    if args.detector == "tinydet":
+        if not args.detector_checkpoint:
+            print("error: --detector tinydet requires --detector-checkpoint"
+                  " (run `rbod fit-detector` first)", file=sys.stderr)
+            return 2
+        detector = _load_tinydet(args.detector_checkpoint, args.conf)
     res = run_labeling(LabelConfig(
         root_dir=args.root, img_type=args.type, classes=args.classes,
         conf_threshold=args.conf, max_object_count=args.max_objects,
-        overwrite=args.overwrite))
+        overwrite=args.overwrite), detector=detector)
     print(f"total={res.total_images} labeled={res.labeled} "
           f"existing={res.skipped_existing} no_object={res.skipped_no_object} "
           f"failed={res.failed}")
@@ -562,6 +592,81 @@ def cmd_e2e(args) -> int:
                 + (["--no-plots"] if args.no_plots else []))
 
 
+def cmd_fit_detector(args) -> int:
+    """Train TinyDet on a labeled tree (the YOLOv8s slot's learned
+    option) and save a checkpoint dir usable by
+    `rbod label --detector tinydet`."""
+    import dataclasses
+    import json
+
+    from retrieval_based_object_detection_tpu.models.detector import tinydet
+    from retrieval_based_object_detection_tpu.train.detector_loop import (
+        DetFitConfig,
+        fit_detector,
+    )
+    from retrieval_based_object_detection_tpu.utils.checkpoint import (
+        save_params,
+    )
+
+    config = tinydet.TinyDetConfig(image_size=args.image_size)
+    params, metrics = fit_detector(config, DetFitConfig(
+        root_dir=args.root, img_type=args.type, epochs=args.epochs,
+        batch_size=args.batch_size, learning_rate=args.lr, seed=args.seed))
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "tinydet_config.json").write_text(
+        json.dumps(dataclasses.asdict(config)))
+    save_params(params, out / "params")
+    print(f"fit done: loss={float(metrics.get('loss', float('nan'))):.4f} "
+          f"checkpoint={out}")
+    return 0
+
+
+def cmd_finetune(args) -> int:
+    """Fine-tune the CLIP tower on a labeled crop tree (dp×tp sharded)
+    and save a converted-checkpoint dir usable by --clip-checkpoint."""
+    import dataclasses
+    import json
+
+    import jax
+    import numpy as np
+
+    from retrieval_based_object_detection_tpu.parallel.mesh import make_mesh
+    from retrieval_based_object_detection_tpu.train.loop import (
+        FitConfig,
+        fit,
+    )
+    from retrieval_based_object_detection_tpu.utils.checkpoint import (
+        save_params,
+    )
+
+    init_params_, clip_config = _load_clip(args.clip_checkpoint,
+                                           variant=args.clip_variant)
+    n_dev = len(jax.devices())
+    tp = args.tp if args.tp else 1
+    dp = args.dp if args.dp else max(1, n_dev // tp)
+    mesh = make_mesh({"dp": dp, "tp": tp}, devices=jax.devices()[:dp * tp])
+    params, metrics = fit(clip_config, FitConfig(
+        root_dir=args.root, img_type=args.type, epochs=args.epochs,
+        batch_size=args.batch_size, learning_rate=args.lr,
+        checkpoint_dir=args.resume_dir, seed=args.seed,
+        compute_dtype=args.compute_dtype), mesh, params=init_params_)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "clip_config.json").write_text(
+        json.dumps(dataclasses.asdict(clip_config)))
+    # The tower (the part every downstream stage loads); the linear head
+    # is training scaffolding.
+    tower = params["tower"] if isinstance(params, dict) \
+        and "tower" in params else params
+    save_params(jax.tree.map(lambda a: np.asarray(a), tower),
+                out / "params")
+    print(f"finetune done: loss={float(metrics.get('loss', 0.0)):.4f} "
+          f"acc={float(metrics.get('accuracy', 0.0)):.3f} "
+          f"checkpoint={out} (mesh dp={dp} tp={tp})")
+    return 0
+
+
 def cmd_wizard(args) -> int:
     """Interactive pipeline walk-through — the reference's input()-driven
     UX (SURVEY.md §5 config audit) over the same decision points, calling
@@ -704,6 +809,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-objects", type=int, default=1)
     sp.add_argument("--overwrite", action="store_true")
     sp.add_argument("--show-missing", action="store_true")
+    sp.add_argument("--detector", choices=("saliency", "tinydet"),
+                    default="saliency")
+    sp.add_argument("--detector-checkpoint",
+                    help="dir from `rbod fit-detector`")
 
     sp = add("review", cmd_review, help="label review session (12)")
     sp.add_argument("command", choices=("status", "render", "select",
@@ -863,6 +972,37 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--sam-cache-dir", default="model")
     sp.add_argument("--overwrite", action="store_true")
     sp.add_argument("--no-plots", action="store_true")
+
+    sp = add("fit-detector", cmd_fit_detector,
+             help="train TinyDet on a labeled tree (YOLOv8s slot)")
+    sp.add_argument("--root", default="dataset_jpeg")
+    sp.add_argument("--type", default="original")
+    sp.add_argument("--epochs", type=int, default=20)
+    sp.add_argument("--batch-size", type=int, default=8)
+    sp.add_argument("--lr", type=float, default=1e-3)
+    sp.add_argument("--image-size", type=int, default=256)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--out", default="detector_ckpt")
+
+    sp = add("finetune", cmd_finetune,
+             help="fine-tune the CLIP tower on a labeled crop tree "
+                  "(dp×tp sharded)")
+    sp.add_argument("--root", default="dataset_cropped")
+    sp.add_argument("--type", default="original")
+    sp.add_argument("--epochs", type=int, default=1)
+    sp.add_argument("--batch-size", type=int, default=32)
+    sp.add_argument("--lr", type=float, default=1e-4)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--compute-dtype", default="bfloat16",
+                    choices=("float32", "bfloat16"))
+    sp.add_argument("--dp", type=int, default=0, help="0 = auto")
+    sp.add_argument("--tp", type=int, default=0, help="0 = auto")
+    sp.add_argument("--clip-checkpoint")
+    sp.add_argument("--clip-variant",
+                    choices=["ViT-B/32", "ViT-B/16", "ViT-L/14"])
+    sp.add_argument("--resume-dir",
+                    help="orbax checkpoint dir for save/resume")
+    sp.add_argument("--out", default="clip_finetuned")
 
     add("wizard", cmd_wizard,
         help="interactive stage picker (the reference's prompt-driven UX)")
