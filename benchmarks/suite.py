@@ -215,6 +215,60 @@ def bench_gallery_scan_kernel(quick: bool) -> dict:
     return out
 
 
+def bench_ingest(quick: bool) -> dict:
+    """Write-path scalability (VERDICT #3): batched columnar upsert
+    throughput at scale, first-query mirror build, and the cost of a
+    small write + re-query afterwards — which must be an incremental
+    patch (a few ms), not an O(N·D) host re-normalise + re-upload."""
+    import time as _time
+
+    import numpy as np
+
+    from retrieval_based_object_detection_tpu.gallery.schema import Payload
+    from retrieval_based_object_detection_tpu.gallery.store import Gallery
+
+    n = 100_000 if quick else 1_000_000
+    batch = 8192
+    rng = np.random.default_rng(0)
+    g = Gallery("ingest", dim=512, capacity=n + batch)
+    vecs = rng.normal(size=(batch, 512)).astype(np.float32)
+
+    t0 = _time.perf_counter()
+    for start in range(0, n, batch):
+        m = min(batch, n - start)
+        ids = [f"p{start + i}" for i in range(m)]
+        pls = [Payload(data_type="original_images",
+                       class_name=f"c{(start + i) % 37}",
+                       img_path=f"/i/{start + i}.jpg") for i in range(m)]
+        g.upsert(ids, vecs[:m], pls)
+    t_ingest = _time.perf_counter() - t0
+
+    q = rng.normal(size=(16, 512)).astype(np.float32)
+    t0 = _time.perf_counter()
+    g.search(q, k=10, exact=False)  # builds + uploads the mirror once
+    t_first = _time.perf_counter() - t0
+
+    # Warm the patch path (compiles the donated dynamic_update_slice).
+    g.upsert(["warm"], vecs[:1],
+             [Payload(data_type="original_images", class_name="zz",
+                      img_path="/i/warm.jpg")])
+    g.search(q, k=10, exact=False)
+
+    t0 = _time.perf_counter()
+    g.upsert(["extra"], vecs[:1],
+             [Payload(data_type="original_images", class_name="zz",
+                      img_path="/i/extra.jpg")])
+    g.search(q, k=10, exact=False)  # incremental patch, NOT a rebuild
+    t_incr = _time.perf_counter() - t0
+
+    return {
+        "rows": n,
+        "upsert_rows_per_sec": round(n / t_ingest, 1),
+        "first_query_mirror_build_s": round(t_first, 3),
+        "small_write_plus_query_ms": round(t_incr * 1000, 2),
+    }
+
+
 def bench_store_api(quick: bool) -> dict:
     """Gallery.search API wall time (mask cache, dispatch, packed fetch,
     Record build). On the axon remote tunnel each call pays ~2 host
@@ -253,7 +307,7 @@ def main() -> None:
     ap.add_argument("--json", default=None)
     ap.add_argument("--only", nargs="*", default=None,
                     choices=["embed", "preprocess", "delegates", "serving",
-                             "gallery", "scan", "store_api"])
+                             "gallery", "scan", "store_api", "ingest"])
     args = ap.parse_args()
 
     benches = {
@@ -264,6 +318,7 @@ def main() -> None:
         "gallery": bench_gallery_scaling,
         "scan": bench_gallery_scan_kernel,
         "store_api": bench_store_api,
+        "ingest": bench_ingest,
     }
     results = {}
     for name, fn in benches.items():

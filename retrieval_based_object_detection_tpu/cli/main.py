@@ -1026,5 +1026,10 @@ def main(argv: list[str] | None = None) -> int:
     return args.fn(args)
 
 
+def entry() -> None:
+    """console_scripts entry point (`rbod` on PATH after pip install)."""
+    raise SystemExit(main())
+
+
 if __name__ == "__main__":
     raise SystemExit(main())

@@ -117,6 +117,7 @@ def embed_tree(
     from retrieval_based_object_detection_tpu.utils.loader import (
         PrefetchIterator,
         batched,
+        parallel_map,
     )
 
     flags = tree.stage_flags(cfg.root_dir)
@@ -126,9 +127,14 @@ def embed_tree(
     B = cfg.batch_size
 
     def prepare(chunk: list[tree.ImageEntry]):
+        # Per-image decode fans out over the shared pool (PIL releases
+        # the GIL): on a many-core TPU host the decode loop, not the
+        # chip, caps real ingest throughput.
+        arrs = parallel_map(
+            lambda e: pp.load_and_preprocess(e.path, size=cfg.image_size),
+            chunk)
         imgs, paths, classes, failed = [], [], [], 0
-        for e in chunk:
-            arr = pp.load_and_preprocess(e.path, size=cfg.image_size)
+        for e, arr in zip(chunk, arrs):
             if arr is None:
                 failed += 1
                 continue

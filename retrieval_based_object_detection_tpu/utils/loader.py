@@ -71,3 +71,33 @@ class PrefetchIterator(Iterator[U]):
 def batched(items: list[T], batch_size: int) -> list[list[T]]:
     return [items[i: i + batch_size]
             for i in range(0, len(items), batch_size)]
+
+
+_decode_pool = None
+_decode_pool_lock = threading.Lock()
+
+
+def parallel_map(fn: Callable[[T], U], items: list[T],
+                 workers: int | None = None) -> list[U]:
+    """Order-preserving map over a shared decode thread pool.
+
+    Image decode/resize (PIL) releases the GIL, so per-image work inside
+    a batch parallelises across host cores — on a real TPU host (dozens
+    of cores) the single-threaded decode loop is what caps ingest
+    throughput, not the chip. Sized to cpu_count (min 8 cap); on a
+    1-core host this degenerates to a plain map. Per-item exceptions
+    propagate to the caller, same as a plain loop."""
+    import os
+
+    global _decode_pool
+    n = workers or min(8, os.cpu_count() or 1)
+    if n <= 1 or len(items) <= 1:
+        return [fn(x) for x in items]
+    if _decode_pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with _decode_pool_lock:
+            if _decode_pool is None:
+                _decode_pool = ThreadPoolExecutor(
+                    max_workers=n, thread_name_prefix="rbod-decode")
+    return list(_decode_pool.map(fn, items))

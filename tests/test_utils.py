@@ -154,3 +154,23 @@ def test_stage_flags():
 def test_type_dir_validation():
     with pytest.raises(ValueError):
         tree.type_dir("root", "bogus")
+
+
+def test_parallel_map_order_and_exceptions():
+    from retrieval_based_object_detection_tpu.utils.loader import (
+        parallel_map,
+    )
+
+    # Order preserved even when forced onto the pool path.
+    out = parallel_map(lambda x: x * 2, list(range(50)), workers=4)
+    assert out == [x * 2 for x in range(50)]
+    # None results (decode failures) pass through untouched.
+    out = parallel_map(lambda x: None if x % 2 else x, [0, 1, 2, 3],
+                       workers=4)
+    assert out == [0, None, 2, None]
+    # Exceptions propagate like a plain loop.
+    import pytest
+
+    with pytest.raises(ValueError):
+        parallel_map(lambda x: (_ for _ in ()).throw(ValueError("boom")),
+                     [1, 2], workers=4)
