@@ -27,6 +27,11 @@ from retrieval_based_object_detection_tpu.gallery import search as search_lib
 AXIS = "gallery"
 
 
+@jax.jit
+def _and_masks(a: jax.Array, b: jax.Array) -> jax.Array:
+    return a & b
+
+
 def shard_rows(n_rows: int, n_shards: int) -> int:
     """Padded per-shard row count (lane-aligned)."""
     per = -(-n_rows // n_shards)
@@ -188,15 +193,26 @@ class ShardedGallerySearcher:
         return cls(vectors, mask, mesh)
 
     def search(self, queries: np.ndarray, k: int = 10, exact: bool = True,
-               method: str | None = None) -> tuple[np.ndarray, np.ndarray]:
+               method: str | None = None,
+               extra_mask: np.ndarray | None = None,
+               ) -> tuple[np.ndarray, np.ndarray]:
         """``method``: "exact"/"bf16" (XLA matmul tier) or "int8" (tiled
         Pallas scan + exact f32 rescore per shard). Defaults from
-        ``exact`` like Gallery.search."""
+        ``exact`` like Gallery.search. ``extra_mask`` is an [n_rows]
+        bool ANDed with the build-time mask device-side (sharded
+        alongside the rows) for per-query filters."""
         if method is None:
             method = "exact" if exact else "bf16"
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None]
+        mask = self.dev_mask
+        if extra_mask is not None:
+            buf = np.zeros(self.dev_vectors.shape[0], bool)
+            buf[: self.n_rows] = extra_mask
+            extra = jax.device_put(
+                buf, NamedSharding(self.mesh, P(AXIS)))
+            mask = _and_masks(mask, extra)
         # Per-shard top-k runs on each shard's local rows, so k must also
         # fit the per-shard row count.
         per_shard = self.dev_vectors.shape[0] // self.mesh.shape[AXIS]
@@ -208,13 +224,13 @@ class ShardedGallerySearcher:
 
             scores, idx = sharded_int8_topk(
                 jnp.asarray(queries), self._dev_tiled, self.dev_vectors,
-                self.dev_mask, self.mesh, k=k_eff,
+                mask, self.mesh, k=k_eff,
                 rescore=min(max(4 * k_eff, 128), per_shard),
                 tile_n=self._tile_n, interpret=not platform.is_tpu(),
             )
         else:
             scores, idx = sharded_topk(
-                jnp.asarray(queries), self.dev_vectors, self.dev_mask,
+                jnp.asarray(queries), self.dev_vectors, mask,
                 self.mesh, k=k_eff, exact=(method == "exact"),
             )
         return np.asarray(scores), np.asarray(idx)

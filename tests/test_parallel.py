@@ -134,3 +134,21 @@ def test_sharded_int8_matches_exact(rng):
     i8_s, i8_i = s.search(q, k=5, method="int8")
     np.testing.assert_allclose(i8_s, ex_s, atol=1e-5)
     assert (i8_i == ex_i).mean() > 0.9  # ties may permute
+
+
+def test_sharded_extra_mask(rng):
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("gallery",))
+    n, d = 300, 32
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    s = ShardedGallerySearcher(vectors, np.ones(n, bool), mesh)
+    q = vectors[5][None]
+    # Exclude the true nearest row via a per-query mask.
+    extra = np.ones(n, bool)
+    extra[5] = False
+    _, idx = s.search(q, k=1)
+    assert idx[0, 0] == 5
+    _, idx2 = s.search(q, k=1, extra_mask=extra)
+    assert idx2[0, 0] != 5
