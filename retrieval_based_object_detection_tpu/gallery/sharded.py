@@ -101,30 +101,28 @@ def sharded_topk(
 
 
 @partial(jax.jit,
-         static_argnames=("k", "mesh", "rescore", "tile_n", "interpret"))
+         static_argnames=("k", "mesh", "rescore", "interpret"))
 def sharded_int8_topk(
-    queries: jax.Array,        # [Q, D] replicated, unnormalised f32
-    gallery_tiled: jax.Array,  # [S*(R/tile_n)*D, tile_n] int8, sharded
-    gallery_f32: jax.Array,    # [S*R, D] normalised f32, sharded (rescore)
-    mask: jax.Array,           # [S*R] bool, sharded
+    queries: jax.Array,      # [Q, D] replicated, unnormalised f32
+    gallery_i8: jax.Array,   # [S*R, D] int8 of normalised rows, sharded
+    gallery_f32: jax.Array,  # [S*R, D] normalised f32, sharded (rescore)
+    mask: jax.Array,         # [S*R] bool, sharded
     mesh: Mesh,
     k: int,
     rescore: int = 128,
-    tile_n: int = 4096,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Distributed serving scan: each shard runs the tiled int8 Pallas
-    kernel + exact f32 rescore over ITS rows (quarter HBM residency, the
-    measured per-chip DMA floor — ops/int8_scan.py), then one
-    ``all_gather`` of [Q, k] candidates merges shards. Per-chip read
-    volume scales 1/shards: this is the path that takes the 1M-row scan
-    under 1 ms (single-chip floor is 1.6 ms; see DESIGN.md)."""
+    """Distributed serving scan: each shard runs the int8 Pallas kernel
+    + exact f32 rescore over ITS rows (quarter HBM residency, ~610 GB/s
+    streaming — ops/int8_scan.py), then one ``all_gather`` of [Q, k]
+    candidates merges shards. Per-chip read volume scales 1/shards on
+    top of the single-chip 0.79 ms @1M (DESIGN.md)."""
 
     def local(q, gt, gf, m):
         shard_id = jax.lax.axis_index(AXIS)
         rows_per = gf.shape[0]
         scores, idx = search_lib.int8_scan_topk(
-            q, gt, gf, m, k=k, rescore=rescore, tile_n=tile_n,
+            q, gt, gf, m, k=k, rescore=rescore,
             interpret=interpret)
         gidx = idx + shard_id * rows_per
         all_scores = jax.lax.all_gather(scores, AXIS)  # [S, Q, k]
@@ -146,7 +144,7 @@ def sharded_int8_topk(
         in_specs=(P(), P(AXIS, None), P(AXIS, None), P(AXIS)),
         out_specs=(P(), P()),
         check_vma=False,
-    )(queries, gallery_tiled, gallery_f32, mask)
+    )(queries, gallery_i8, gallery_f32, mask)
 
 
 class ShardedGallerySearcher:
@@ -162,27 +160,15 @@ class ShardedGallerySearcher:
         self.mesh = mesh
         self.n_rows = vectors.shape[0]
         self.dev_vectors, self.dev_mask = build_sharded(vectors, mask, mesh)
-        self._dev_tiled: jax.Array | None = None  # int8 scan mirror
-        self._tile_n = 0
+        self._dev_int8: jax.Array | None = None  # int8 scan mirror
 
     def _build_int8(self) -> None:
-        """Per-shard tiled int8 mirror (lazy; see ops/int8_scan.py). Built
-        host-side and device_put with the row sharding — the default
-        layout matters (a jit-output transpose is only a layout
-        annotation and re-strides the kernel's DMA; gallery/store.py)."""
-        S = self.mesh.shape[AXIS]
-        total = self.dev_vectors.shape[0]
-        R = total // S
-        self._tile_n = next(t for t in (4096, 2048, 1024, 512, 256)
-                            if R % t == 0)
-        rows = np.asarray(self.dev_vectors)  # normalised, padded [S*R, D]
-        q = np.clip(np.round(rows * 127.0), -127, 127).astype(np.int8)
-        D = q.shape[1]
-        tiled = (q.reshape(S * (R // self._tile_n), self._tile_n, D)
-                 .transpose(0, 2, 1)
-                 .reshape(S * (R // self._tile_n) * D, self._tile_n))
-        self._dev_tiled = jax.device_put(
-            tiled, NamedSharding(self.mesh, P(AXIS, None)))
+        """Per-shard int8 mirror (lazy): quantised on-device from the
+        already-sharded normalised rows — one jit pass, stays sharded,
+        nothing crosses the host link."""
+        self._dev_int8 = jax.jit(
+            lambda v: jnp.clip(jnp.round(v * 127.0), -127, 127
+                               ).astype(jnp.int8))(self.dev_vectors)
 
     @classmethod
     def from_gallery(cls, gallery, mesh: Mesh, flt=None
@@ -218,15 +204,15 @@ class ShardedGallerySearcher:
         per_shard = self.dev_vectors.shape[0] // self.mesh.shape[AXIS]
         k_eff = min(k, self.n_rows, per_shard)
         if method == "int8":
-            if self._dev_tiled is None:
+            if self._dev_int8 is None:
                 self._build_int8()
             from retrieval_based_object_detection_tpu.utils import platform
 
             scores, idx = sharded_int8_topk(
-                jnp.asarray(queries), self._dev_tiled, self.dev_vectors,
+                jnp.asarray(queries), self._dev_int8, self.dev_vectors,
                 mask, self.mesh, k=k_eff,
                 rescore=min(max(4 * k_eff, 128), per_shard),
-                tile_n=self._tile_n, interpret=not platform.is_tpu(),
+                interpret=not platform.is_tpu(),
             )
         else:
             scores, idx = sharded_topk(

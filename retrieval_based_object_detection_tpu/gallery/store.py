@@ -58,23 +58,6 @@ def _pack_results(scores: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.stack([scores, idx.astype(jnp.float32)])
 
 
-@jax.jit
-def _build_scan_mirror_jit(dev_f32: jax.Array) -> jax.Array:
-    return int8_scan.pack_rows_tiled(search_lib.quantize_rows_int8(dev_f32))
-
-
-def _build_scan_mirror(dev_f32: jax.Array) -> jax.Array:
-    """Quantise + re-tile the f32 mirror into the Pallas scan layout —
-    one fused device pass over HBM, nothing crosses the host link.
-
-    The ``jnp.copy`` OUTSIDE the jit is load-bearing: XLA implements the
-    transpose of the jitted pack as a physical-layout annotation on the
-    output, which silently re-strides the scan kernel's DMA back to
-    339 GB/s (measured 2.3 ms vs 1.65 ms at 1M rows). The copy forces a
-    default-layout materialisation."""
-    return jnp.copy(_build_scan_mirror_jit(dev_f32))
-
-
 @dataclass
 class Record:
     """One gallery point, as returned by scroll/retrieve/search."""
@@ -107,8 +90,7 @@ class Gallery:
         self._padded = 0
         self._dev_f32: jax.Array | None = None   # normalised f32 (exact)
         self._dev_bf16: jax.Array | None = None  # normalised bf16 (serving)
-        self._dev_int8: jax.Array | None = None  # quantised [N, D] (XLA path)
-        self._dev_scan: jax.Array | None = None  # tiled int8 (Pallas scan)
+        self._dev_int8: jax.Array | None = None  # quantised [N, D] scan tier
         # Host rows [0, _synced) are reflected in the mirrors except for
         # the contiguous dirty range [_dirty_lo, _dirty_hi).
         self._synced = 0
@@ -330,7 +312,6 @@ class Gallery:
     def _invalidate_mirrors(self) -> None:
         self._padded = 0
         self._dev_f32 = self._dev_bf16 = self._dev_int8 = None
-        self._dev_scan = None
         self._synced = 0
         self._dirty_lo = self._dirty_hi = 0
         self._mask_cache.clear()
@@ -338,9 +319,6 @@ class Gallery:
     def _mark_dirty(self, lo: int, hi: int) -> None:
         """Record a host-row write; mirrors patch the range at next sync."""
         self._mask_cache.clear()
-        # The tiled scan mirror is re-derived on-device from the patched
-        # f32 mirror (one jit pass, no upload) rather than patched itself.
-        self._dev_scan = None
         if self._dirty_hi > self._dirty_lo:
             self._dirty_lo = min(self._dirty_lo, lo)
             self._dirty_hi = max(self._dirty_hi, hi)
@@ -370,11 +348,10 @@ class Gallery:
             # O(log N) full rebuilds, not one per crossing of a 256 line.
             # At scan scale the padded count must divide the Pallas tile.
             target = max(n, 2 * self._padded)
-            multiple = (int8_scan.TILE_N
+            multiple = (int8_scan.TILE_ROWS
                         if target >= self.INT8_SCAN_MIN_ROWS else 256)
             self._padded = search_lib.pad_rows(target, multiple)
             self._dev_f32 = self._dev_bf16 = self._dev_int8 = None
-            self._dev_scan = None
             self._mask_cache.clear()
         # int8 tiers (XLA and Pallas-tiled) rescore from and re-derive off
         # the f32 mirror, so i8 implies f32.
@@ -492,21 +469,18 @@ class Gallery:
             rescore = min(max(4 * k_eff, 128), self._padded)
             from retrieval_based_object_detection_tpu.utils import platform
 
-            if (platform.is_tpu() and self._padded >= int8_scan.TILE_N
-                    and self._padded % int8_scan.TILE_N == 0):
-                if self._dev_scan is None:
-                    # Derived on-device from the (already patched) f32
-                    # mirror: quantise + tile, no host pass, no upload.
-                    self._dev_scan = _build_scan_mirror(self._dev_f32)
+            if self._dev_int8 is None:
+                # Derived on-device from the (already patched) f32
+                # mirror — no host pass, no upload.
+                self._dev_int8 = _quantize_int8(self._dev_f32)
+            if platform.is_tpu():
                 scores, idx = search_lib.int8_scan_topk(
-                    jnp.asarray(queries), self._dev_scan, self._dev_f32,
+                    jnp.asarray(queries), self._dev_int8, self._dev_f32,
                     mask, k=k_eff, rescore=rescore,
                 )
             else:
                 # XLA's int8 dot is fine at small scale / off-TPU; the
                 # Pallas kernel would need interpret mode here.
-                if self._dev_int8 is None:
-                    self._dev_int8 = _quantize_int8(self._dev_f32)
                 scores, idx = search_lib.int8_cosine_topk(
                     jnp.asarray(queries), self._dev_int8, self._dev_f32,
                     mask, k=k_eff, rescore=rescore,

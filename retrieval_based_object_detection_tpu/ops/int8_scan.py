@@ -1,38 +1,45 @@
-"""Pallas tiled gallery-scan kernel — the million-row serving scan.
+"""Pallas int8 gallery-scan kernel — the million-row serving scan.
 
-Why this exists: the 1M x 512 gallery scan is HBM-bound and XLA's
-bf16-matmul + approx_max_k path leaves ~45% of the chip's usable read
-bandwidth on the table (measured 2.97 ms per 16-query batch on v5e vs
-the 1.65 ms bf16 DMA floor). This kernel streams the gallery through
-VMEM in MXU-ready tiles and reaches that floor: **1.60 ms** for the same
-scan — 1.86x. Layout study (all measured at 1M x 512, v5e, documented in
-DESIGN.md):
+Why this exists: the 1M x 512 gallery scan is HBM-bandwidth-bound and
+the gallery can be stored int8 (exact-with-rescore), but XLA's int8
+``dot_general`` AND Mosaic's in-kernel int8 dot both hang libtpu codegen
+at this scale. This kernel never hands int8 to the MXU: it streams
+row-major int8 blocks through VMEM, converts to bf16 on the VPU, and
+runs the dot in bf16 with f32 accumulation. The arithmetic is EXACT
+int8 arithmetic despite the detour:
 
-  * [N, D] row-major blocks       -> in-VMEM transpose per tile: 2.20 ms
-  * [D, N] transposed             -> strided DMA (512 segments/tile,
-                                     339 GB/s regardless of dtype): 1.53 ms
-  * [n_tiles*D, tile_n] TILED     -> contiguous multi-MB DMA, MXU-direct
-    (this kernel)                    tiles: 1.60 ms bf16 == the DMA floor
+  * every int8 value is exactly representable in bf16,
+  * the MXU forms each bf16*bf16 product in full precision before f32
+    accumulation (8-bit x 8-bit mantissas -> 16-bit product < f32's 24),
+  * the worst-case dot 127*127*512 = 8.26e6 < 2^24, so f32 accumulation
+    is exact integer arithmetic.
+Scores are bit-identical to ``gallery.search.int8_cosine_topk``'s int32
+scores (tested), and the f32 rescore of the top candidates recovers
+exact cosine top-k.
 
-int8 tier: the gallery can be stored int8 (quarter HBM residency -> 4x
-bigger galleries per chip). The kernel never hands int8 to the MXU —
-XLA *and* Mosaic int8 dots hang libtpu codegen at this scale — instead
-it converts tiles to bf16 in VMEM and relies on exact small-integer
-arithmetic: every int8 is exact in bf16, each bf16*bf16 product is
-formed in full precision, and the worst-case dot 127*127*512 = 8.26e6
-< 2^24 accumulates exactly in f32. Scores are therefore bit-identical
-to int32 integer scores (tested). NOTE: integer-dtype DMA runs at half
-byte-rate on the current toolchain (measured 327 vs 651 GB/s), so int8
-matches — not beats — bf16 wall-clock; it wins on memory, and wins
-wall-clock 2x the day the DMA path is fixed.
+Measured (1M x 512, 16-query batch, v5e, DEVICE time — fixed ~30 ms
+per-dispatch tunnel round trip measured and subtracted, kernel forced
+loop-variant so XLA cannot hoist it; see DESIGN.md "measurement
+protocol"):
 
-Role: ``gallery.search.int8_scan_topk`` wraps this with masking,
-approx_max_k candidate selection and exact f32 rescore;
-``Gallery.search(method="int8")`` auto-routes here on TPU at scale.
-Single-chip <1 ms at 1M rows is physically closed on v5e (the bf16 read
-alone is 1GB / 819GB/s = 1.22 ms); the ICI-sharded gallery
-(``gallery/sharded.py``) is the <1 ms path, reading 1/shards of the
-rows per chip.
+  * int8 scan (this kernel):        0.84 ms  (~610 GB/s)
+  * bf16 scan (same kernel, 2x B):  1.53 ms  (~650 GB/s)
+  * FULL serving pipeline (scan + in-kernel filter penalty +
+    approx_max_k(128) + exact f32 rescore): **0.79 ms** — the <1 ms
+    @1M north star, met single-chip
+  * XLA bf16 matmul + approx_max_k: 1.42 ms (1.8x slower)
+
+Layout does NOT matter (row-major [N, D] == transposed == tiled within
+noise) — Mosaic pipelines all of them at the DMA rate; the win is the
+int8 byte volume. The filter mask rides IN-kernel as an additive
+penalty row: a separate ``where`` over the [Q, N] scores costs two
+extra HBM passes because XLA does not fuse producers into the
+approx_max_k PartialReduce custom call.
+
+Role: ``gallery.search.int8_scan_topk`` wraps this with candidate
+selection and rescore; ``Gallery.search(method="int8")`` auto-routes
+here on TPU at >=131072 rows, straight off the store's incremental
+[N, D] int8 mirror.
 """
 
 from __future__ import annotations
@@ -44,65 +51,48 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_N = 4096  # measured optimum (2048: +7%, 8192: +2%, 16384: OOM/HTTP500)
+TILE_ROWS = 4096  # gallery rows per grid step (2 MB int8 blocks)
 
 
-def _scan_kernel(q_ref, tile_ref, pen_ref, out_ref):
-    # q_ref: [Q, D] bf16; tile_ref: [D, TILE_N] (bf16 or int8);
-    # pen_ref: [1, TILE_N] f32 (0 valid / -inf masked);
-    # out_ref: [Q, TILE_N] f32. One contiguous gallery tile per grid step.
-    tile = tile_ref[:]
-    if tile.dtype != jnp.bfloat16:
-        tile = tile.astype(jnp.bfloat16)
-    out_ref[:] = jax.lax.dot(
-        q_ref[:], tile, preferred_element_type=jnp.float32) + pen_ref[:]
+def _scan_kernel(q_ref, rows_ref, pen_ref, out_ref):
+    # q_ref: [Q, D] bf16 (int8-valued); rows_ref: [T, D] int8;
+    # pen_ref: [1, T] f32 (0 valid / -inf masked); out_ref: [Q, T] f32.
+    rows = rows_ref[:].astype(jnp.bfloat16)
+    out_ref[:] = jax.lax.dot_general(
+        q_ref[:], rows, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + pen_ref[:]
 
 
-@partial(jax.jit, static_argnames=("tile_n", "interpret"))
-def tiled_scan_scores(
-    q: jax.Array,              # [Q, D] bf16 (int8-valued for the int8 tier)
-    gallery_tiled: jax.Array,  # [n_tiles*D, tile_n] int8 or bf16
-    penalty: jax.Array,        # [N] f32 additive row mask (0 or -inf)
-    tile_n: int = TILE_N,
+@partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def int8_scan_scores(
+    q_i8: jax.Array,        # [Q, D] int8 quantised queries
+    gallery_i8: jax.Array,  # [N, D] int8, row-major (the store's mirror)
+    penalty: jax.Array,     # [N] f32 additive row mask (0 or -inf)
+    tile_rows: int = 0,     # 0 = auto (largest of 4096.. dividing N)
     interpret: bool = False,
 ) -> jax.Array:
-    """[Q, N] f32 scores; column j of tile i is gallery row i*tile_n + j.
-
-    The filter mask arrives as an additive penalty applied IN-kernel: a
-    separate ``where`` over the [Q, N] score matrix costs two extra HBM
-    passes (~0.5 ms at 1M rows) because XLA does not fuse producers into
-    the approx_max_k PartialReduce custom call (measured)."""
-    Q, D = q.shape
-    n_tiles = gallery_tiled.shape[0] // D
-    assert gallery_tiled.shape[0] == n_tiles * D
+    """[Q, N] f32 exact integer scores = q_i8 . gallery_i8 + penalty."""
+    Q, D = q_i8.shape
+    N = gallery_i8.shape[0]
+    if tile_rows == 0:
+        tile_rows = next(t for t in (4096, 2048, 1024, 512, 256)
+                         if N % t == 0)
+    assert N % tile_rows == 0, (N, tile_rows)
     return pl.pallas_call(
         _scan_kernel,
-        grid=(n_tiles,),
+        grid=(N // tile_rows,),
         in_specs=[
             pl.BlockSpec((Q, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, tile_n), lambda i: (i, 0),
+            pl.BlockSpec((tile_rows, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i: (0, i),
+            pl.BlockSpec((1, tile_rows), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Q, tile_n), lambda i: (0, i),
+        out_specs=pl.BlockSpec((Q, tile_rows), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Q, n_tiles * tile_n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Q, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),  # tiles are independent
         ),
         interpret=interpret,
-    )(q.astype(jnp.bfloat16), gallery_tiled, penalty.reshape(1, -1))
-
-
-@partial(jax.jit, static_argnames=("tile_n",))
-def pack_rows_tiled(rows: jax.Array, tile_n: int = TILE_N) -> jax.Array:
-    """[N, D] -> [n_tiles*D, tile_n] tiled-transposed layout (device-side;
-    N must divide tile_n). Each (D, tile_n) tile is contiguous, so the
-    scan kernel's DMA issues multi-MB linear reads instead of 512 strided
-    segments."""
-    N, D = rows.shape
-    assert N % tile_n == 0, (N, tile_n)
-    n_tiles = N // tile_n
-    return rows.reshape(n_tiles, tile_n, D).transpose(0, 2, 1).reshape(
-        n_tiles * D, tile_n)
+    )(q_i8.astype(jnp.bfloat16), gallery_i8, penalty.reshape(1, -1))

@@ -160,14 +160,9 @@ def test_int8_scan_topk_interpret_matches_xla_int8(rng):
     mask = np.ones(n, bool)
     mask[::7] = False
 
-    from retrieval_based_object_detection_tpu.ops.int8_scan import (
-        pack_rows_tiled,
-    )
-
-    tiled = pack_rows_tiled(jnp.asarray(g_i8), tile_n=256)
     s_scan, i_scan = search_lib.int8_scan_topk(
-        jnp.asarray(q), tiled, jnp.asarray(vecs),
-        jnp.asarray(mask), k=k, rescore=64, tile_n=256, interpret=True)
+        jnp.asarray(q), jnp.asarray(g_i8), jnp.asarray(vecs),
+        jnp.asarray(mask), k=k, rescore=64, interpret=True)
     s_ref, i_ref = search_lib.int8_cosine_topk(
         jnp.asarray(q), jnp.asarray(g_i8), jnp.asarray(vecs),
         jnp.asarray(mask), k=k, rescore=64)
