@@ -35,14 +35,47 @@ def _fetch(x) -> float:
     return float(jnp.sum(x) if hasattr(x, "dtype") else x)
 
 
-def timeit(fn, iters: int = 5) -> float:
-    """Median seconds per call; fn must force completion itself."""
+_RT_S: float | None = None
+
+
+def dispatch_rt() -> float:
+    """Fixed per-dispatch round trip (seconds), measured once. ~30-34 ms
+    through the axon tunnel, constant whatever runs inside the dispatch
+    — subtracting it is what makes device benches report device time
+    (see DESIGN.md "measurement protocol")."""
+    global _RT_S
+    if _RT_S is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def trivial(x):
+            return jnp.sum(x) * 0 + 1.0
+
+        x = jnp.zeros((16, 512), jnp.float32)
+        float(trivial(x))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(trivial(x))
+            ts.append(time.perf_counter() - t0)
+        _RT_S = float(np.percentile(ts, 50))
+        print(f"[bench] dispatch RT = {_RT_S * 1000:.2f} ms (subtracted "
+              f"from device benches)", file=sys.stderr)
+    return _RT_S
+
+
+def timeit(fn, iters: int = 5, device: bool = True) -> float:
+    """Median seconds per call. ``device=True`` subtracts the fixed
+    dispatch round trip (fn = one dispatch + fetch); pass device=False
+    for benches where host work is the point (store_api, ingest)."""
+    rt = dispatch_rt() if device else 0.0
     fn()  # compile/warmup
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         fn()
-        times.append(time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0 - rt)
     return float(np.median(times))
 
 
@@ -55,7 +88,7 @@ def bench_embed(quick: bool) -> dict:
     cfg = M.VIT_B_32
     params = M.init_params(cfg, 0)
     B = 192
-    inner = 5 if quick else 20
+    inner = 5 if quick else 60
     imgs = jax.random.normal(jax.random.key(0), (B, 224, 224, 3),
                              jnp.float32)
 
@@ -82,7 +115,7 @@ def bench_preprocess(quick: bool) -> dict:
     imgs = jax.random.uniform(jax.random.key(0), (B, 480, 640, 3),
                               jnp.float32, 0, 255)
     boxes = jnp.tile(jnp.asarray([[40.0, 30.0, 600.0, 450.0]]), (B, 1))
-    inner = 5 if quick else 20
+    inner = 5 if quick else 160
 
     @partial(jax.jit, static_argnames=("n",))
     def run(x, b, n):
@@ -103,15 +136,19 @@ def bench_delegates(quick: bool) -> dict:
     )
 
     n = 1024 if quick else 4096
+    inner = 3 if quick else 40
     vecs = jax.random.normal(jax.random.key(0), (n, 512), jnp.float32)
     mask = jnp.ones(n, bool)
 
-    def run():
-        out = compute_all_delegates(vecs, mask)
-        return _fetch(out["average"]) + _fetch(out["medoid"])
+    @partial(jax.jit, static_argnames=("m",))
+    def run(v, mk, m):
+        def body(i, acc):
+            out = compute_all_delegates(v + i * 1e-6, mk)
+            return acc + jnp.sum(out["average"]) + jnp.sum(out["medoid"])
+        return jax.lax.fori_loop(0, m, body, jnp.float32(0))
 
-    dt = timeit(run, iters=3)
-    return {"members": n, "ms_per_class_all4": round(dt * 1000, 2)}
+    dt = timeit(lambda: _fetch(run(vecs, mask, inner)), iters=3)
+    return {"members": n, "ms_per_class_all4": round(dt / inner * 1000, 2)}
 
 
 def bench_serving(quick: bool) -> dict:
@@ -126,15 +163,21 @@ def bench_serving(quick: bool) -> dict:
     cfg = M.VIT_B_32
     params = M.init_params(cfg, 0)
     B = 16
+    inner = 3 if quick else 40
     imgs = jax.random.uniform(jax.random.key(1), (B, 480, 640, 3),
                               jnp.float32, 0, 255)
     delegates = jax.random.normal(jax.random.key(2), (100, 512), jnp.float32)
 
-    def run():
-        out = detect_embed_classify(params, imgs, delegates, cfg)
-        return _fetch(out["similarity"])
+    @partial(jax.jit, static_argnames=("m",))
+    def run(p, x, d, m):
+        def body(i, acc):
+            out = detect_embed_classify(p, x + i * 1e-6, d, cfg)
+            return acc + jnp.sum(out["similarity"])
+        return jax.lax.fori_loop(0, m, body, jnp.float32(0))
 
-    dt = timeit(run, iters=3 if quick else 5)
+    dt = timeit(lambda: _fetch(run(params, imgs, delegates, inner)),
+                iters=3 if quick else 5)
+    dt = dt / inner
     return {"batch": B, "ms_per_batch": round(dt * 1000, 2),
             "images_per_sec": round(B / dt, 1)}
 
@@ -146,7 +189,7 @@ def bench_gallery_scaling(quick: bool) -> dict:
     from retrieval_based_object_detection_tpu.gallery import search as S
 
     sizes = [100_000] if quick else [100_000, 1_000_000]
-    inner = 5 if quick else 20
+    inner = 5 if quick else 160
     out = {}
     for n in sizes:
         @jax.jit
@@ -176,9 +219,7 @@ def bench_gallery_scaling(quick: bool) -> dict:
 
 def bench_gallery_scan_kernel(quick: bool) -> dict:
     """The serving scan tier: int8 Pallas kernel + approx candidates
-    + exact f32 rescore (vs bench_gallery_scaling's XLA bf16 path).
-    NOTE: per-iteration numbers here include ~30ms/inner of fixed
-    dispatch round trip; bench.py measures and subtracts it."""
+    + exact f32 rescore (vs bench_gallery_scaling's XLA bf16 path)."""
     import jax
     import jax.numpy as jnp
 
@@ -188,7 +229,7 @@ def bench_gallery_scan_kernel(quick: bool) -> dict:
     if not platform.is_tpu():
         return {"skipped": "Pallas scan kernel requires the TPU backend"}
     sizes = [131_072] if quick else [131_072, 1 << 20]
-    inner = 5 if quick else 20
+    inner = 5 if quick else 160
     out = {}
     for n in sizes:
         @jax.jit
@@ -295,7 +336,7 @@ def bench_store_api(quick: bool) -> dict:
                       ("filtered", {"exact": False,
                                     "flt": Filter(must={"class_name": "c5"})})):
         g.search(q, k=10, **kw)  # compile + mask-cache warm
-        dt = timeit(lambda: g.search(q, k=10, **kw), iters=5)
+        dt = timeit(lambda: g.search(q, k=10, **kw), iters=5, device=False)
         out[label] = {"ms_per_16query_batch": round(dt * 1000, 3)}
     return out
 
