@@ -144,10 +144,17 @@ class Gallery:
         pls = [Payload.from_dict(p) if isinstance(p, dict) else p
                for p in payloads]
         if len(set(ids)) != len(ids):
-            # Duplicate ids within one batch: last occurrence wins (the
-            # original per-row loop's semantics), applied deterministically.
-            keep = {pid: i for i, pid in enumerate(ids)}
-            order = sorted(keep.values())
+            # Duplicate ids within one batch: last occurrence's VALUES win
+            # but insertion order follows the FIRST occurrence — exactly
+            # what a per-row loop over the batch produces (caught by
+            # tests/test_gallery_properties.py).
+            last = {pid: i for i, pid in enumerate(ids)}
+            seen: set[str] = set()
+            order = []
+            for pid in ids:
+                if pid not in seen:
+                    seen.add(pid)
+                    order.append(last[pid])
             ids = [ids[i] for i in order]
             vectors = vectors[order]
             pls = [pls[i] for i in order]
