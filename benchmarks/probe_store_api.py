@@ -19,10 +19,7 @@ import numpy as np
 
 from retrieval_based_object_detection_tpu.gallery import search as search_lib
 from retrieval_based_object_detection_tpu.gallery.schema import Filter, Payload
-from retrieval_based_object_detection_tpu.gallery.store import (
-    Gallery,
-    _build_scan_mirror,
-)
+from retrieval_based_object_detection_tpu.gallery.store import Gallery
 
 N, D, Q, K = 1 << 20, 512, 16, 10
 
@@ -84,7 +81,7 @@ def main():
     # Reference: pure device loop (the bench.py protocol)
     from functools import partial
 
-    scan = g._dev_scan
+    scan = g._dev_int8
     f32 = g._dev_f32
     mask = g._device_mask(None)
     qd = jnp.asarray(q)

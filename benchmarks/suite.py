@@ -39,27 +39,16 @@ _RT_S: float | None = None
 
 
 def dispatch_rt() -> float:
-    """Fixed per-dispatch round trip (seconds), measured once. ~30-34 ms
-    through the axon tunnel, constant whatever runs inside the dispatch
-    — subtracting it is what makes device benches report device time
-    (see DESIGN.md "measurement protocol")."""
+    """Fixed per-dispatch round trip (seconds), measured once via
+    bench.measure_dispatch_rt (ONE protocol definition for the whole
+    repo). ~30-34 ms through the axon tunnel, constant whatever runs
+    inside the dispatch — subtracting it is what makes device benches
+    report device time (DESIGN.md "measurement protocol")."""
     global _RT_S
     if _RT_S is None:
-        import jax
-        import jax.numpy as jnp
+        from bench import measure_dispatch_rt
 
-        @jax.jit
-        def trivial(x):
-            return jnp.sum(x) * 0 + 1.0
-
-        x = jnp.zeros((16, 512), jnp.float32)
-        float(trivial(x))
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            float(trivial(x))
-            ts.append(time.perf_counter() - t0)
-        _RT_S = float(np.percentile(ts, 50))
+        _RT_S = measure_dispatch_rt()
         print(f"[bench] dispatch RT = {_RT_S * 1000:.2f} ms (subtracted "
               f"from device benches)", file=sys.stderr)
     return _RT_S

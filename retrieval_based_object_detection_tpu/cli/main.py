@@ -679,9 +679,18 @@ def cmd_wizard(args) -> int:
 
     def pick_collection(store_path: str = "gallery_store") -> str:
         """Collection pick with point counts — the reference's
-        list-then-choose flow (32_create_delegate_vector.py:65-75)."""
+        list-then-choose flow (32_create_delegate_vector.py:65-75).
+        Local stores list from snapshot HEADERS (O(1) per collection;
+        a full load_store would deserialise every vector twice — once
+        for the menu, once for the confirmed command)."""
         try:
-            cols = _store_load(store_path).list_collections()
+            if store_path.startswith(("http://", "https://")):
+                cols = _store_load(store_path).list_collections()
+            else:
+                from retrieval_based_object_detection_tpu.gallery.persist \
+                    import list_snapshots
+
+                cols = list_snapshots(store_path)
         except Exception:
             cols = []
         if not cols:

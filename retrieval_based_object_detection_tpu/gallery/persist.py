@@ -103,3 +103,30 @@ def load_store(root: str | Path) -> VectorStore:
             print(f"[gallery] WARNING: skipping collection {name!r}: {e}",
                   file=sys.stderr)
     return store
+
+
+def list_snapshots(root: str | Path) -> list[tuple[str, int]]:
+    """[(collection_name, point_count)] from snapshot headers only —
+    O(1) per collection, no vector/payload deserialisation (the wizard's
+    collection-pick menu must not pay a full store load)."""
+    root = Path(root)
+    out = []
+    if not root.is_dir():
+        return out
+    for p in sorted(root.glob("*.rbod")):
+        try:
+            rows, _, _ = native.snapshot_header(p)
+            out.append((p.stem, rows))
+        except OSError:
+            continue
+    for p in sorted(root.glob("*.json")):  # legacy layout
+        if p.name == "manifest.json" or (root / f"{p.stem}.rbod").exists():
+            continue
+        try:
+            import numpy as _np
+
+            with _np.load(root / f"{p.stem}.npz") as z:
+                out.append((p.stem, int(z["vectors"].shape[0])))
+        except Exception:
+            continue
+    return sorted(out)

@@ -165,10 +165,11 @@ class ShardedGallerySearcher:
     def _build_int8(self) -> None:
         """Per-shard int8 mirror (lazy): quantised on-device from the
         already-sharded normalised rows — one jit pass, stays sharded,
-        nothing crosses the host link."""
-        self._dev_int8 = jax.jit(
-            lambda v: jnp.clip(jnp.round(v * 127.0), -127, 127
-                               ).astype(jnp.int8))(self.dev_vectors)
+        nothing crosses the host link. Uses the SAME quantiser as the
+        query side (search_lib.quantize_rows_int8) — the exact-integer
+        score guarantee depends on them matching bit-for-bit."""
+        self._dev_int8 = jax.jit(search_lib.quantize_rows_int8)(
+            self.dev_vectors)
 
     @classmethod
     def from_gallery(cls, gallery, mesh: Mesh, flt=None

@@ -144,7 +144,8 @@ def box_from_saliency(
     mass_win = jnp.maximum(mass1, mass2)
 
     n_blob = jnp.sum(winner.reshape(B, -1), axis=1)
-    empty = n_blob < 16  # fewer than 16 blob pixels -> no detection
+    # No-detection floor in ORIGINAL pixels (a coarse cell covers ds²).
+    empty = n_blob * (ds * ds) < 16
     big = jnp.float32(1e9)
     x1 = jnp.min(jnp.where(winner, xs, big), axis=(1, 2))
     y1 = jnp.min(jnp.where(winner, ys, big), axis=(1, 2))

@@ -134,16 +134,22 @@ class SamPredictor:
         self,
         images: list[np.ndarray],   # [H_i, W_i, 3] uint8, any sizes
         point_coords: list[np.ndarray] | None = None,  # per-image [P, 2]
+        point_labels: list[np.ndarray] | None = None,  # per-image [P]
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         """Batched encode→decode for throughput jobs (the auto-segment
         stage): ONE encoder dispatch for the whole batch instead of a
         set_image per image — the 1024² ViT underutilises the chip at
         batch 1 and each dispatch pays a host round trip. Defaults to
-        the reference's center-point prompt (22a:141-143). Returns
+        the reference's center-point prompt (22a:141-143); multi-point
+        prompts must share one P across the batch (static shapes), with
+        ``point_labels`` 1=fg/0=bg per point like ``predict``. Returns
         per-image (3 candidate masks at original resolution, scores)."""
         S = self.config.img_size
+        P = (len(np.asarray(point_coords[0]))
+             if point_coords is not None else 1)
         padded, hw = [], []
-        pts = np.zeros((len(images), 1, 2), np.float32)
+        pts = np.zeros((len(images), P, 2), np.float32)
+        labels = np.ones((len(images), P), np.float32)
         for i, img in enumerate(images):
             p, (nh, nw) = preprocess_image(img, S)
             padded.append(p)
@@ -152,13 +158,19 @@ class SamPredictor:
             raw = (np.asarray(point_coords[i], np.float32)
                    if point_coords is not None
                    else np.array([[ow / 2, oh / 2]], np.float32))
-            pts[i, 0] = ((raw[0, 0] * (nw / ow) + 0.5) / S,
-                         (raw[0, 1] * (nh / oh) + 0.5) / S)
+            if raw.shape != (P, 2):
+                raise ValueError(
+                    f"image {i}: expected {P} prompt points, got "
+                    f"{raw.shape} (batched prompts share one P)")
+            pts[i, :, 0] = (raw[:, 0] * (nw / ow) + 0.5) / S
+            pts[i, :, 1] = (raw[:, 1] * (nh / oh) + 0.5) / S
+            if point_labels is not None:
+                labels[i] = np.asarray(point_labels[i], np.float32)
         emb = _encode(self.params["encoder"], jnp.asarray(np.stack(padded)),
                       self.config.encoder, self.compute_dtype)
         masks, iou = _decode(
             self.params["decoder"], emb, jnp.asarray(pts),
-            jnp.ones((len(images), 1), np.float32), self.config.decoder)
+            jnp.asarray(labels), self.config.decoder)
         masks = np.asarray(masks)[:, 1:]  # multimask tokens 1..3
         iou = np.asarray(iou)[:, 1:]
         return [

@@ -136,6 +136,27 @@ def snapshot_write(path: str | Path, vectors: np.ndarray,
         raise OSError(f"snapshot_write failed rc={rc}: {path}")
 
 
+def snapshot_header(path: str | Path) -> tuple[int, int, int]:
+    """(rows, dim, payload_blob_len) from a snapshot's fixed header —
+    O(1), no vector/payload read (cheap collection listings)."""
+    lib = _load()
+    if lib is None:
+        with open(path, "rb") as f:
+            magic, version, rows, dim, pb = _HEADER.unpack(
+                f.read(_HEADER.size))
+        if magic != _MAGIC or version != _VERSION:
+            raise OSError(f"bad snapshot header: {path}")
+        return rows, dim, pb
+    rows = ctypes.c_int64()
+    dim = ctypes.c_int64()
+    pb = ctypes.c_int64()
+    rc = lib.snapshot_header(str(path).encode(), ctypes.byref(rows),
+                             ctypes.byref(dim), ctypes.byref(pb))
+    if rc != 0:
+        raise OSError(f"snapshot_header failed rc={rc}: {path}")
+    return rows.value, dim.value, pb.value
+
+
 def snapshot_read(path: str | Path) -> tuple[np.ndarray, bytes]:
     lib = _load()
     if lib is None:

@@ -84,20 +84,26 @@ def parallel_map(fn: Callable[[T], U], items: list[T],
     Image decode/resize (PIL) releases the GIL, so per-image work inside
     a batch parallelises across host cores — on a real TPU host (dozens
     of cores) the single-threaded decode loop is what caps ingest
-    throughput, not the chip. Sized to cpu_count (min 8 cap); on a
-    1-core host this degenerates to a plain map. Per-item exceptions
-    propagate to the caller, same as a plain loop."""
+    throughput, not the chip. Default parallelism = min(cpu_count, 8);
+    pass ``workers`` to request more — the shared pool grows (never
+    shrinks) to the largest request, so every caller gets at least what
+    it asked for. On a 1-core host (workers unset) this degenerates to
+    a plain map. Per-item exceptions propagate to the caller, same as a
+    plain loop."""
     import os
 
     global _decode_pool
     n = workers or min(8, os.cpu_count() or 1)
     if n <= 1 or len(items) <= 1:
         return [fn(x) for x in items]
-    if _decode_pool is None:
-        from concurrent.futures import ThreadPoolExecutor
+    with _decode_pool_lock:
+        if _decode_pool is None or _decode_pool._max_workers < n:
+            from concurrent.futures import ThreadPoolExecutor
 
-        with _decode_pool_lock:
-            if _decode_pool is None:
-                _decode_pool = ThreadPoolExecutor(
-                    max_workers=n, thread_name_prefix="rbod-decode")
-    return list(_decode_pool.map(fn, items))
+            old = _decode_pool
+            _decode_pool = ThreadPoolExecutor(
+                max_workers=n, thread_name_prefix="rbod-decode")
+            if old is not None:
+                old.shutdown(wait=False)
+        pool = _decode_pool
+    return list(pool.map(fn, items))

@@ -134,3 +134,26 @@ def test_segment_batch_matches_per_image(rng):
                                      np.array([1]), multimask_output=True)
         np.testing.assert_allclose(iou_b, iou_s, atol=1e-5)
         assert (masks_b == masks_s).mean() > 0.999
+
+
+def test_segment_batch_multi_point_and_labels(rng):
+    """Batched prompts honour ALL P points and fg/bg labels, matching the
+    per-image predict path."""
+    from retrieval_based_object_detection_tpu.models.sam import model as SM
+
+    sam = SM.SamPredictor(SM.init_params(SM.SAM_TINY, 0), SM.SAM_TINY)
+    img = rng.integers(0, 255, (60, 80, 3), dtype=np.uint8)
+    pts = np.array([[20.0, 15.0], [60.0, 45.0]])
+    lbl = np.array([1, 0])
+    (masks_b, iou_b), = sam.segment_batch([img], point_coords=[pts],
+                                          point_labels=[lbl])
+    sam.set_image(img)
+    masks_s, iou_s = sam.predict(pts, lbl, multimask_output=True)
+    np.testing.assert_allclose(iou_b, iou_s, atol=1e-5)
+    assert (masks_b == masks_s).mean() > 0.999
+    # Mismatched P is an explicit error, not silent truncation.
+    import pytest
+
+    with pytest.raises(ValueError, match="prompt points"):
+        sam.segment_batch([img, img],
+                          point_coords=[pts, pts[:1]])

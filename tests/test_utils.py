@@ -174,3 +174,22 @@ def test_parallel_map_order_and_exceptions():
     with pytest.raises(ValueError):
         parallel_map(lambda x: (_ for _ in ()).throw(ValueError("boom")),
                      [1, 2], workers=4)
+
+
+def test_snapshot_header_and_listing(tmp_path, rng):
+    from retrieval_based_object_detection_tpu import native
+    from retrieval_based_object_detection_tpu.gallery import persist
+    from retrieval_based_object_detection_tpu.gallery.schema import Payload
+    from retrieval_based_object_detection_tpu.gallery.store import VectorStore
+
+    store = VectorStore()
+    for name, n in (("alpha", 7), ("beta", 3)):
+        g = store.create_collection(name, dim=4)
+        g.upsert([f"{name}{i}" for i in range(n)],
+                 rng.normal(size=(n, 4)).astype(np.float32),
+                 [Payload(data_type="original_images", class_name="c")
+                  for _ in range(n)])
+    persist.save_store(store, tmp_path)
+    rows, dim, blob_len = native.snapshot_header(tmp_path / "alpha.rbod")
+    assert (rows, dim) == (7, 4) and blob_len > 0
+    assert persist.list_snapshots(tmp_path) == [("alpha", 7), ("beta", 3)]
