@@ -72,29 +72,19 @@ def _dilate(m: jax.Array, win: int) -> jax.Array:
         m, False, jax.lax.bitwise_or, (1, win, win), (1, 1, 1), "SAME")
 
 
-@partial(jax.jit, static_argnames=("rel_threshold",))
+@partial(jax.jit, static_argnames=("rel_threshold", "min_blob_cells"))
 def box_from_saliency(
-    score: jax.Array,  # [B, H, W]
+    score: jax.Array,  # [B, H, W] (already at working/coarse resolution)
     rel_threshold: float = 0.35,
+    min_blob_cells: int = 16,
 ) -> tuple[jax.Array, jax.Array]:
-    """→ (boxes [B, 4] xyxy pixels, conf [B]).
+    """→ (boxes [B, 4] xyxy in MAP pixels, conf [B]).
 
     Threshold = rel_threshold × (peak − border-floor) above the floor;
     the box bounds the THRESHOLDED BLOB CONNECTED TO THE PEAK (iterated
     masked dilation). Confidence = the blob's share of total foreground
-    saliency mass.
+    saliency mass. Blobs under ``min_blob_cells`` cells → no detection.
     """
-    B, H0, W0 = score.shape
-    # Blob geometry runs on a coarse grid: the map is already pool-
-    # smoothed, so stride-ds avg-pooling loses nothing a box needs, and
-    # the flood-fill's iterated dilations get ds³ cheaper (at 480×640×16
-    # the full-res fill cost ~30 ms/batch in the serving path; coarse is
-    # sub-ms).
-    ds = max(1, max(H0, W0) // 160)
-    if ds > 1:
-        score = jax.lax.reduce_window(
-            score, 0.0, jax.lax.add, (1, ds, ds), (1, ds, ds), "VALID"
-        ) / (ds * ds)
     B, H, W = score.shape
     floor = jnp.percentile(score.reshape(B, -1), 20.0, axis=1)
     peak = jnp.max(score.reshape(B, -1), axis=1)
@@ -144,8 +134,7 @@ def box_from_saliency(
     mass_win = jnp.maximum(mass1, mass2)
 
     n_blob = jnp.sum(winner.reshape(B, -1), axis=1)
-    # No-detection floor in ORIGINAL pixels (a coarse cell covers ds²).
-    empty = n_blob * (ds * ds) < 16
+    empty = n_blob < min_blob_cells
     big = jnp.float32(1e9)
     x1 = jnp.min(jnp.where(winner, xs, big), axis=(1, 2))
     y1 = jnp.min(jnp.where(winner, ys, big), axis=(1, 2))
@@ -156,9 +145,6 @@ def box_from_saliency(
     x2 = jnp.where(empty, 0.0, x2)
     y2 = jnp.where(empty, 0.0, y2)
     boxes = jnp.stack([x1, y1, x2, y2], axis=1)
-    if ds > 1:  # back to input pixels (generous by up to ds-1 px)
-        boxes = jnp.clip(boxes * ds,
-                         0, jnp.asarray([W0, H0, W0, H0], jnp.float32))
 
     # Winner's share of ALL above-threshold saliency mass: diffuse or
     # heavily cluttered scenes CAN fall below labeling's conf gate (0.25,
@@ -166,6 +152,44 @@ def box_from_saliency(
     # floor at 0.5 and make the gate dead.
     mass_total = jnp.sum(rel, axis=(1, 2))
     conf = jnp.where(empty, 0.0, mass_win / jnp.maximum(mass_total, 1e-6))
+    return boxes, conf
+
+
+@partial(jax.jit, static_argnames=("border", "pool", "rel_threshold"))
+def propose_boxes(
+    images: jax.Array,  # [B, H, W, 3] float 0..255
+    border: int = 8,
+    pool: int = 9,
+    rel_threshold: float = 0.35,
+) -> tuple[jax.Array, jax.Array]:
+    """→ (boxes [B, 4] xyxy in ORIGINAL pixels, conf [B]).
+
+    The whole saliency computation runs at the coarse working resolution
+    (~160 px max side): the image is stride-``ds`` average-pooled FIRST,
+    so the 10-seed colour distances, the smoothing pool, the percentile
+    sort, and the flood fill are all ~ds² cheaper than computing a
+    full-resolution map only to downsample it before the geometry
+    (measured: 24 → ~14 ms on the 16×480×640 serving batch). Boxes are
+    rescaled to input pixels (generous by up to ds−1 px — absorbed by
+    the crop stage's 20% margin)."""
+    x = images.astype(jnp.float32)
+    B, H, W, _ = x.shape
+    ds = max(1, max(H, W) // 160)
+    if ds > 1:
+        x = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (1, ds, ds, 1), (1, ds, ds, 1), "VALID"
+        ) / (ds * ds)
+    # Border and smoothing scale with the grid so the EFFECTIVE extent in
+    # original pixels stays ~constant (quality-swept: pool 3 at coarse
+    # scale recovers the full-resolution IoU).
+    score = saliency_map(x, border=max(2, border // ds),
+                         pool=pool if ds == 1 else max(3, pool // ds))
+    boxes, conf = box_from_saliency(
+        score, rel_threshold=rel_threshold,
+        min_blob_cells=max(1, 16 // (ds * ds)))
+    if ds > 1:
+        boxes = jnp.clip(boxes * ds,
+                         0, jnp.asarray([W, H, W, H], jnp.float32))
     return boxes, conf
 
 
@@ -182,7 +206,7 @@ class SaliencyProposer:
                  ) -> tuple[np.ndarray, np.ndarray]:
         """images [B, H, W, 3] uint8/float → (boxes [B, 1, 4], conf [B, 1])."""
         imgs = jnp.asarray(np.asarray(images, np.float32))
-        score = saliency_map(imgs, border=self.border, pool=self.pool)
-        boxes, conf = box_from_saliency(
-            score, rel_threshold=self.rel_threshold)
+        boxes, conf = propose_boxes(
+            imgs, border=self.border, pool=self.pool,
+            rel_threshold=self.rel_threshold)
         return np.asarray(boxes)[:, None, :], np.asarray(conf)[:, None]

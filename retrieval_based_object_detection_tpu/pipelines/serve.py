@@ -46,8 +46,7 @@ def detect_embed_classify(
     images = images.astype(jnp.float32)
     B, H, W, _ = images.shape
 
-    score = saliency.saliency_map(images)
-    boxes, conf = saliency.box_from_saliency(score)   # [B, 4], [B]
+    boxes, conf = saliency.propose_boxes(images)   # [B, 4], [B]
     out = _margin_embed_classify(clip_params, images, boxes, delegates,
                                  clip_config, margin_ratio)
     return {**out, "confidence": conf}
