@@ -131,28 +131,39 @@ def box_from_saliency(
     mass2 = jnp.sum(rel * blob2, axis=(1, 2))
     swap = (mass2 > mass1)[:, None, None]
     winner = jnp.where(swap, blob2, blob)
+    runner = jnp.where(swap, blob, blob2)
     mass_win = jnp.maximum(mass1, mass2)
+    mass_run = jnp.minimum(mass1, mass2)
 
-    n_blob = jnp.sum(winner.reshape(B, -1), axis=1)
-    empty = n_blob < min_blob_cells
     big = jnp.float32(1e9)
-    x1 = jnp.min(jnp.where(winner, xs, big), axis=(1, 2))
-    y1 = jnp.min(jnp.where(winner, ys, big), axis=(1, 2))
-    x2 = jnp.max(jnp.where(winner, xs, -big), axis=(1, 2)) + 1.0
-    y2 = jnp.max(jnp.where(winner, ys, -big), axis=(1, 2)) + 1.0
-    x1 = jnp.where(empty, 0.0, x1)
-    y1 = jnp.where(empty, 0.0, y1)
-    x2 = jnp.where(empty, 0.0, x2)
-    y2 = jnp.where(empty, 0.0, y2)
-    boxes = jnp.stack([x1, y1, x2, y2], axis=1)
 
-    # Winner's share of ALL above-threshold saliency mass: diffuse or
-    # heavily cluttered scenes CAN fall below labeling's conf gate (0.25,
-    # 11:159) and be rejected — a pure winner/loser dominance ratio would
-    # floor at 0.5 and make the gate dead.
-    mass_total = jnp.sum(rel, axis=(1, 2))
-    conf = jnp.where(empty, 0.0, mass_win / jnp.maximum(mass_total, 1e-6))
-    return boxes, conf
+    def blob_box(m, mass):
+        n = jnp.sum(m.reshape(B, -1), axis=1)
+        empty = n < min_blob_cells
+        x1 = jnp.min(jnp.where(m, xs, big), axis=(1, 2))
+        y1 = jnp.min(jnp.where(m, ys, big), axis=(1, 2))
+        x2 = jnp.max(jnp.where(m, xs, -big), axis=(1, 2)) + 1.0
+        y2 = jnp.max(jnp.where(m, ys, -big), axis=(1, 2)) + 1.0
+        zeros = jnp.zeros_like(x1)
+        box = jnp.stack([jnp.where(empty, zeros, x1),
+                         jnp.where(empty, zeros, y1),
+                         jnp.where(empty, zeros, x2),
+                         jnp.where(empty, zeros, y2)], axis=1)
+        # Share of ALL above-threshold saliency mass: diffuse or heavily
+        # cluttered scenes CAN fall below labeling's conf gate (0.25,
+        # 11:159) — a pure winner/loser dominance ratio would floor at
+        # 0.5 and make the gate dead.
+        mass_total = jnp.sum(rel, axis=(1, 2))
+        conf = jnp.where(empty, 0.0,
+                         mass / jnp.maximum(mass_total, 1e-6))
+        return box, conf
+
+    box1, conf1 = blob_box(winner, mass_win)
+    box2, conf2 = blob_box(runner, mass_run)
+    # [B, 2, 4] boxes / [B, 2] confs, best first — the YOLO slot's top-K
+    # contract (11:178-180); callers wanting one box take [:, 0].
+    return (jnp.stack([box1, box2], axis=1),
+            jnp.stack([conf1, conf2], axis=1))
 
 
 @partial(jax.jit, static_argnames=("border", "pool", "rel_threshold"))
@@ -162,7 +173,8 @@ def propose_boxes(
     pool: int = 9,
     rel_threshold: float = 0.35,
 ) -> tuple[jax.Array, jax.Array]:
-    """→ (boxes [B, 4] xyxy in ORIGINAL pixels, conf [B]).
+    """→ (boxes [B, 2, 4] xyxy in ORIGINAL pixels, conf [B, 2], best
+    blob first).
 
     The whole saliency computation runs at the coarse working resolution
     (~160 px max side): the image is stride-``ds`` average-pooled FIRST,
@@ -194,19 +206,24 @@ def propose_boxes(
 
 
 class SaliencyProposer:
-    """Detector-callable: batch of images → (boxes, scores) per image."""
+    """Detector-callable: batch of images → (boxes, scores) per image.
+
+    Returns up to ``max_boxes`` (≤2) blob boxes per image, best first —
+    the YOLO slot's top-K-by-confidence contract (11:178-180)."""
 
     def __init__(self, border: int = 8, pool: int = 9,
-                 rel_threshold: float = 0.35):
+                 rel_threshold: float = 0.35, max_boxes: int = 2):
         self.border = border
         self.pool = pool
         self.rel_threshold = rel_threshold
+        self.max_boxes = min(max_boxes, 2)
 
     def __call__(self, images: np.ndarray
                  ) -> tuple[np.ndarray, np.ndarray]:
-        """images [B, H, W, 3] uint8/float → (boxes [B, 1, 4], conf [B, 1])."""
+        """images [B, H, W, 3] uint8/float → (boxes [B, K, 4], conf [B, K])."""
         imgs = jnp.asarray(np.asarray(images, np.float32))
         boxes, conf = propose_boxes(
             imgs, border=self.border, pool=self.pool,
             rel_threshold=self.rel_threshold)
-        return np.asarray(boxes)[:, None, :], np.asarray(conf)[:, None]
+        return (np.asarray(boxes)[:, : self.max_boxes],
+                np.asarray(conf)[:, : self.max_boxes])

@@ -46,7 +46,8 @@ def detect_embed_classify(
     images = images.astype(jnp.float32)
     B, H, W, _ = images.shape
 
-    boxes, conf = saliency.propose_boxes(images)   # [B, 4], [B]
+    boxes, conf = saliency.propose_boxes(images)   # [B, 2, 4], [B, 2]
+    boxes, conf = boxes[:, 0], conf[:, 0]          # best blob per image
     out = _margin_embed_classify(clip_params, images, boxes, delegates,
                                  clip_config, margin_ratio)
     return {**out, "confidence": conf}

@@ -28,7 +28,7 @@ def make_product_photo(size=(240, 320), obj=(60, 80, 150, 220),
 def test_saliency_finds_product_box():
     img = make_product_photo()
     boxes, conf = SaliencyProposer()(img[None])
-    assert boxes.shape == (1, 1, 4) and conf.shape == (1, 1)
+    assert boxes.shape == (1, 2, 4) and conf.shape == (1, 2)
     x1, y1, x2, y2 = boxes[0, 0]
     # Box within ~12px of the true object (robust quantile shrink allowed).
     assert abs(x1 - 80) < 12 and abs(y1 - 60) < 12

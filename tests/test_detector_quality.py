@@ -68,3 +68,27 @@ def test_tinydet_trained_quality():
     m = evaluate_tinydet(epochs=20)
     assert m["studio"]["recall@0.5"] >= 0.85, m
     assert m["cluttered"]["recall@0.5"] >= 0.8, m
+
+
+def test_two_object_scene_yields_two_boxes(proposer):
+    """The YOLO slot's top-K contract: a scene with two objects produces
+    two blob boxes (best first), each covering its own object."""
+    import numpy as np
+
+    from benchmarks.detector_quality import _paint_shape, iou
+
+    rng = np.random.default_rng(4)
+    img = np.full((240, 320, 3), 225, np.float32)
+    _paint_shape(img, rng, 120, 85, 45, 40, (180, 30, 30))
+    _paint_shape(img, rng, 120, 240, 45, 40, (30, 30, 180))
+    boxes, conf = proposer(img[None].astype(np.uint8))
+    assert boxes.shape == (1, 2, 4) and conf.shape == (1, 2)
+    assert conf[0, 0] >= conf[0, 1] > 0.2
+    gts = [np.array([45, 75, 125, 165]), np.array([200, 75, 280, 165])]
+    pair = [max(iou(np.asarray(boxes[0, k]), gt) for gt in gts)
+            for k in range(2)]
+    assert min(pair) > 0.5, (boxes, pair)
+    # ...and they hit DIFFERENT objects.
+    best = [int(np.argmax([iou(np.asarray(boxes[0, k]), gt) for gt in gts]))
+            for k in range(2)]
+    assert best[0] != best[1]
