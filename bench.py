@@ -124,7 +124,7 @@ def bench_gallery_query(n_vectors: int = 1 << 20, dim: int = 512,
     def query_many(q, gt, gf, m, n):
         def body(i, acc):
             s, _ = S.int8_scan_topk(q + i * 1e-6, gt, gf, m, k=k,
-                                    rescore=128)
+                                    rescore=256)
             return acc + jnp.sum(s)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 

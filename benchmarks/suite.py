@@ -235,7 +235,7 @@ def bench_gallery_scan_kernel(quick: bool) -> dict:
         def run(q, gt, gf, mask, m):
             def body(i, acc):
                 s, _ = S.int8_scan_topk(q + i * 1e-6, gt, gf, mask,
-                                        k=10, rescore=128)
+                                        k=10, rescore=256)
                 return acc + jnp.sum(s)
             return jax.lax.fori_loop(0, m, body, jnp.float32(0))
 

@@ -153,7 +153,7 @@ def int8_scan_topk(
     gallery_f32: jax.Array,  # [N, D] normalised f32 (for exact rescoring)
     mask: jax.Array,         # [N] bool
     k: int,
-    rescore: int = 128,
+    rescore: int = 256,      # 100% top-10 agreement at 1M measured here
     tile_rows: int = 0,      # 0 = auto
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:

@@ -109,7 +109,7 @@ def sharded_int8_topk(
     mask: jax.Array,         # [S*R] bool, sharded
     mesh: Mesh,
     k: int,
-    rescore: int = 128,
+    rescore: int = 256,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Distributed serving scan: each shard runs the int8 Pallas kernel
@@ -212,7 +212,7 @@ class ShardedGallerySearcher:
             scores, idx = sharded_int8_topk(
                 jnp.asarray(queries), self._dev_int8, self.dev_vectors,
                 mask, self.mesh, k=k_eff,
-                rescore=min(max(4 * k_eff, 128), per_shard),
+                rescore=min(max(8 * k_eff, 256), per_shard),
                 interpret=not platform.is_tpu(),
             )
         else:

@@ -473,7 +473,7 @@ class Gallery:
         mask = self._device_mask(flt)
         k_eff = min(k, n)
         if method == "int8":
-            rescore = min(max(4 * k_eff, 128), self._padded)
+            rescore = min(max(8 * k_eff, 256), self._padded)
             from retrieval_based_object_detection_tpu.utils import platform
 
             if self._dev_int8 is None:
