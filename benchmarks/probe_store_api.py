@@ -1,5 +1,9 @@
 """TPU probe: Gallery.search API-level latency at 1M rows (VERDICT #2).
 
+NOTE: API wall times here include the ~30 ms axon-tunnel round trips by
+design (that IS the API cost on this transport); the device-only serving
+latency is bench.py's RT-corrected secondary metric.
+
 Builds a 1M-row store with device-generated vectors injected into the
 mirror (a 2 GB host upload through the axon tunnel would take minutes
 and is irrelevant to query-path latency), then measures:
