@@ -25,17 +25,20 @@ from retrieval_based_object_detection_tpu.gallery.store import Gallery, VectorSt
 def save_gallery(gallery: Gallery, root: str | Path) -> None:
     root = Path(root)
     root.mkdir(parents=True, exist_ok=True)
-    data = gallery.to_arrays()
+    n = len(gallery)
+    # Format 2: columnar payloads (base64 numpy buffers + decode tables)
+    # — ~10× faster than per-row payload dicts at 6-figure row counts.
     meta = {
+        "format": 2,
         "name": gallery.name,
-        "dim": data["dim"],
-        "distance": data["distance"],
-        "ids": data["ids"],
-        "payloads": data["payloads"],
+        "dim": gallery.dim,
+        "distance": gallery.distance,
+        "ids": list(gallery._ids),
+        "columns": gallery._payloads.export_columns(n),
     }
     blob = json.dumps(meta).encode()
     tmp = root / f".{gallery.name}.rbod.tmp"
-    native.snapshot_write(tmp, data["vectors"], blob)
+    native.snapshot_write(tmp, gallery._vectors[:n], blob)
     os.replace(tmp, root / f"{gallery.name}.rbod")
 
 
@@ -50,7 +53,9 @@ def load_gallery(name: str, root: str | Path) -> Gallery:
             meta = json.load(f)
         with np.load(root / f"{name}.npz") as z:
             vectors = z["vectors"]
-    return Gallery.from_arrays(
+    if meta.get("format", 1) >= 2:
+        return _gallery_from_columns(name, meta, vectors)
+    return Gallery.from_arrays(  # format 1 (round-1 snapshots) still loads
         name,
         {
             "ids": meta["ids"],
@@ -60,6 +65,26 @@ def load_gallery(name: str, root: str | Path) -> Gallery:
             "distance": meta.get("distance", "cosine"),
         },
     )
+
+
+def _gallery_from_columns(name: str, meta: dict,
+                          vectors: np.ndarray) -> Gallery:
+    """Direct columnar reconstruction — no per-row Payload objects."""
+    from retrieval_based_object_detection_tpu.gallery.schema import (
+        PayloadColumns,
+    )
+
+    ids = meta["ids"]
+    n = len(ids)
+    g = Gallery(name, dim=int(meta["dim"]), capacity=max(1024, n),
+                distance=meta.get("distance", "cosine"))
+    g._vectors[:n] = vectors[:n]
+    g._ids = list(ids)
+    g._id_to_row = {pid: i for i, pid in enumerate(ids)}
+    cols = PayloadColumns.import_columns(meta["columns"], n)
+    cols.grow(g._capacity)
+    g._payloads = cols
+    return g
 
 
 def save_store(store: VectorStore, root: str | Path) -> None:

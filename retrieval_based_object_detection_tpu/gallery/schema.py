@@ -266,6 +266,54 @@ class PayloadColumns:
             m = m & pm
         return m
 
+    def export_columns(self, n: int) -> dict:
+        """Columnar snapshot payload (base64 numpy buffers + decode
+        tables) — serialising 1M rows this way beats building 1M per-row
+        payload dicts by ~10× (persist format v2)."""
+        import base64
+
+        return {
+            "coded": {
+                f: {
+                    "codes": base64.b64encode(
+                        self._cols[f][:n].tobytes()).decode("ascii"),
+                    "decode": self._decode[f],
+                }
+                for f in self._CODED
+            },
+            "bools": {
+                f: base64.b64encode(
+                    np.packbits(self._cols[f][:n])).decode("ascii")
+                for f in BOOL_FIELDS
+            },
+            "img_path": [p or "" for p in self._img_path[:n]],
+        }
+
+    @classmethod
+    def import_columns(cls, data: dict, n: int) -> "PayloadColumns":
+        import base64
+
+        out = cls(max(n, 1))
+        for f in cls._CODED:
+            spec = data["coded"][f]
+            codes = np.frombuffer(
+                base64.b64decode(spec["codes"]), np.int32)[:n].copy()
+            out._cols[f][:n] = codes
+            out._decode[f] = list(spec["decode"])
+            out._codes[f] = {v: i for i, v in enumerate(out._decode[f])}
+        for f in BOOL_FIELDS:
+            bits = np.unpackbits(
+                np.frombuffer(base64.b64decode(data["bools"][f]), np.uint8),
+                count=n).astype(bool)
+            out._cols[f][:n] = bits
+        paths = data["img_path"]
+        for i, p in enumerate(paths):
+            out._img_path[i] = p or ""
+            if p:
+                out._path_index[p] = i
+        out.size = n
+        return out
+
     def compact(self, keep: np.ndarray) -> np.ndarray:
         """Keep only rows where ``keep`` is True; returns old→new row map."""
         assert keep.shape == (self.size,)

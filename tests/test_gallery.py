@@ -239,3 +239,28 @@ def test_int8_method_rejected_on_non_cosine(rng):
              [Payload(data_type="original_images", class_name="c")])
     with pytest.raises(ValueError, match="cosine"):
         g.search(rng.normal(size=8).astype(np.float32), k=1, method="int8")
+
+
+def test_legacy_format1_snapshot_still_loads(tmp_path, rng):
+    """Round-1 snapshots (format 1: per-row payload dicts) must keep
+    loading after the columnar format-2 switch."""
+    import json
+
+    from retrieval_based_object_detection_tpu import native
+    from retrieval_based_object_detection_tpu.gallery import persist
+
+    vecs = rng.normal(size=(3, 8)).astype(np.float32)
+    pls = [Payload(data_type="original_images", class_name=f"c{i}",
+                   img_path=f"/l/{i}.jpg", is_delegate=(i == 2),
+                   delegate_type="average" if i == 2 else None)
+           for i in range(3)]
+    meta = {"name": "legacy", "dim": 8, "distance": "cosine",
+            "ids": ["a", "b", "c"],
+            "payloads": [p.to_dict() for p in pls]}
+    native.snapshot_write(tmp_path / "legacy.rbod", vecs,
+                          json.dumps(meta).encode())
+    g = persist.load_gallery("legacy", tmp_path)
+    assert len(g) == 3 and g.get_by_path("/l/1.jpg").id == "b"
+    recs, _ = g.scroll(limit=3, with_vectors=True)
+    assert [r.payload for r in recs] == pls
+    np.testing.assert_allclose(np.stack([r.vector for r in recs]), vecs)
