@@ -33,11 +33,26 @@ class GalleryServiceError(RuntimeError):
         self.status = status
 
 
-def _request(method: str, url: str, body: dict | None = None) -> Any:
-    data = json.dumps(body).encode() if body is not None else None
+def _request(method: str, url: str, body: dict | None = None,
+             array_key: str | None = None,
+             array: np.ndarray | None = None) -> Any:
+    """JSON request, or — when ``array`` is given — the binary frame
+    [u32 header_len][JSON header][raw f32 bytes]: bulk vectors ship as
+    bytes instead of JSON float lists (~20× smaller, no float parsing)."""
+    if array is not None:
+        header = dict(body or {})
+        header["_array_key"] = array_key
+        header["_array_shape"] = list(array.shape)
+        hjson = json.dumps(header).encode()
+        data = (len(hjson).to_bytes(4, "little") + hjson
+                + np.ascontiguousarray(array, np.float32).tobytes())
+        ctype = "application/octet-stream"
+    else:
+        data = json.dumps(body).encode() if body is not None else None
+        ctype = "application/json"
     req = urllib.request.Request(url, data=data, method=method)
     if data is not None:
-        req.add_header("Content-Type", "application/json")
+        req.add_header("Content-Type", ctype)
     try:
         with urllib.request.urlopen(req, timeout=300) as resp:
             return json.loads(resp.read())
@@ -92,9 +107,10 @@ class GalleryClient:
             vectors = vectors[None, :]
         pls = [p.to_dict() if isinstance(p, Payload) else p
                for p in payloads]
-        return int(_request("POST", self._url("/points"), {
-            "ids": list(ids), "vectors": vectors.tolist(), "payloads": pls,
-        })["upserted"])
+        return int(_request(
+            "POST", self._url("/points"),
+            {"ids": list(ids), "payloads": pls},
+            array_key="vectors", array=vectors)["upserted"])
 
     def delete(self, ids: Sequence[str] | None = None,
                flt: Filter | None = None) -> int:
@@ -160,10 +176,10 @@ class GalleryClient:
         body = _filter_body(flt)
         # method=None -> "auto": the SERVER's Gallery.search picks the
         # tier (exact / bf16 / int8-at-scale), same as a local gallery.
-        body.update(queries=queries.tolist(), k=k,
-                    method=method or "auto", exact=exact,
+        body.update(k=k, method=method or "auto", exact=exact,
                     with_vectors=with_vectors)
-        out = _request("POST", self._url("/points/search"), body)
+        out = _request("POST", self._url("/points/search"), body,
+                       array_key="queries", array=queries)
         return [[self._record(h) for h in hits] for hits in out["results"]]
 
 

@@ -13,6 +13,9 @@ operation set over a minimal JSON/HTTP API:
   GET    /collections/<name>/count            ?filter=<urlencoded json>
   POST   /collections/<name>/count            {filter?}
   POST   /collections/<name>/points           upsert {ids, vectors, payloads}
+         (Content-Type: application/octet-stream sends vectors as raw
+          f32 bytes after a length-prefixed JSON header — ~20× lighter
+          than JSON float lists for bulk ingest; see gallery/client.py)
   POST   /collections/<name>/points/scroll    {filter?, limit?, offset?,
                                                with_vectors?}
   POST   /collections/<name>/points/search    {queries, k?, filter?, method?}
@@ -163,7 +166,20 @@ def make_handler(svc: GalleryService):
             length = int(self.headers.get("Content-Length") or 0)
             if not length:
                 return {}
-            return json.loads(self.rfile.read(length))
+            raw = self.rfile.read(length)
+            if (self.headers.get("Content-Type") or "").startswith(
+                    "application/octet-stream"):
+                # Binary frame: [u32 header_len][JSON header][f32 bytes].
+                # The header carries everything but the vectors plus
+                # their shape; the payload is zero-copy row data.
+                hlen = int.from_bytes(raw[:4], "little")
+                body = json.loads(raw[4:4 + hlen])
+                key = body.pop("_array_key", "vectors")
+                shape = body.pop("_array_shape")
+                body[key] = np.frombuffer(
+                    raw[4 + hlen:], np.float32).reshape(shape)
+                return body
+            return json.loads(raw)
 
         def _route(self, method: str):
             path, _, query = self.path.partition("?")

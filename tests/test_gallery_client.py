@@ -118,3 +118,17 @@ def test_client_search_with_vectors_and_auto_method(service, rng):
     # method=None + exact=False -> server-side auto routing, not an error
     hits2 = g.search(vecs[2], k=2, exact=False, method=None)
     assert hits2[0][0].id == "v2"
+
+
+def test_binary_frame_upsert_roundtrip_precision(service, rng):
+    """Binary transport ships raw f32 bytes — vectors survive BIT-EXACT
+    (JSON float lists round-trip through decimal repr)."""
+    store = RemoteVectorStore(service)
+    g = store.create_collection("bin", dim=16)
+    vecs = rng.normal(size=(5, 16)).astype(np.float32)
+    g.upsert([f"b{i}" for i in range(5)], vecs,
+             [Payload(data_type="original_images", class_name="x",
+                      img_path=f"/b/{i}.jpg") for i in range(5)])
+    recs = g.scroll_all(with_vectors=True)
+    got = np.stack([r.vector for r in recs])
+    assert (got == vecs).all()  # bit-exact, not just close
