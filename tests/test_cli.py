@@ -89,3 +89,11 @@ def test_store_admin_cycle(project, capsys):
     run(["store", "delete", "--name", "b", "--store", "gs"])
     run(["store", "list", "--store", "gs"])
     assert "b\t" not in capsys.readouterr().out
+
+
+def test_profile_dir_captures_trace(project, tmp_path):
+    run(["--profile-dir", str(tmp_path / "trace"), "store", "create",
+         "--name", "prof", "--store", "gs", "--dim", "8"])
+    # jax.profiler writes plugins/profile/<ts>/*; presence = captured.
+    assert list((tmp_path / "trace").rglob("*.xplane.pb")), \
+        list((tmp_path / "trace").rglob("*"))
