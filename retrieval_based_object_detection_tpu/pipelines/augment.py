@@ -119,36 +119,53 @@ class AugmentResult:
 def run_augment(cfg: AugmentConfig) -> AugmentResult:
     from PIL import Image
 
+    from retrieval_based_object_detection_tpu.utils.loader import (
+        parallel_map,
+    )
+
     base_key = jax.random.key(cfg.seed)
-    n_in = n_out = n_fail = 0
     classes = (cfg.classes if cfg.classes is not None
                else tree.list_classes(cfg.src_root, cfg.img_type))
+    work: list[tuple[int, object, object]] = []  # (idx, img_path, dst_dir)
     idx = 0
     for cls in classes:
         dst_dir = tree.type_dir(cfg.dst_root, cfg.img_type) / cls
         dst_dir.mkdir(parents=True, exist_ok=True)
         for img_path in tree.list_images(cfg.src_root, cfg.img_type, cls):
             idx += 1
+            work.append((idx, img_path, dst_dir))
+
+    def one(item) -> tuple[int, int, int]:
+        # Per-image decode→augment→encode fans out over the shared host
+        # pool (~26 PIL ops per image is the slowest host stage at
+        # scale); the fold_in(seed, idx) keys keep outputs identical to
+        # the sequential order whatever the thread schedule.
+        i, img_path, dst = item
+        try:
+            with Image.open(img_path) as im:
+                arr = np.asarray(im.convert("RGBA"))
+        except Exception:
+            return 0, 0, 1
+        key = jax.random.fold_in(base_key, i)
+        ext = img_path.suffix.lower()
+        jpeg_out = ext in (".jpg", ".jpeg")
+        wrote = failed = 0
+        for suffix, out_arr in augment_array(arr, cfg, key):
             try:
-                with Image.open(img_path) as im:
-                    arr = np.asarray(im.convert("RGBA"))
+                img = Image.fromarray(out_arr)
+                if jpeg_out:
+                    # JPEG has no alpha; composite like the visual
+                    # result (augment inputs are normally RGBA PNGs,
+                    # but crops feed through as JPEGs too).
+                    img = img.convert("RGB")
+                img.save(dst / f"{img_path.stem}_{suffix}{ext}")
+                wrote += 1
             except Exception:
-                n_fail += 1
-                continue
-            n_in += 1
-            key = jax.random.fold_in(base_key, idx)
-            ext = img_path.suffix.lower()
-            jpeg_out = ext in (".jpg", ".jpeg")
-            for suffix, out_arr in augment_array(arr, cfg, key):
-                try:
-                    img = Image.fromarray(out_arr)
-                    if jpeg_out:
-                        # JPEG has no alpha; composite like the visual
-                        # result (augment inputs are normally RGBA PNGs,
-                        # but crops feed through as JPEGs too).
-                        img = img.convert("RGB")
-                    img.save(dst_dir / f"{img_path.stem}_{suffix}{ext}")
-                    n_out += 1
-                except Exception:
-                    n_fail += 1
+                failed += 1
+        return 1, wrote, failed
+
+    results = parallel_map(one, work)
+    n_in = sum(r[0] for r in results)
+    n_out = sum(r[1] for r in results)
+    n_fail = sum(r[2] for r in results) + (len(work) - len(results))
     return AugmentResult(n_inputs=n_in, n_written=n_out, n_failed=n_fail)
