@@ -448,6 +448,29 @@ def cmd_experiments(args) -> int:
     return 0
 
 
+def cmd_import_qdrant(args) -> int:
+    """Migrate collections from a live Qdrant server (the reference's
+    vector database, 02_qdrant_environment_setting.txt:1-8) into the
+    gallery store — the switch-over path for existing reference users."""
+    from retrieval_based_object_detection_tpu.pipelines import migrate as mg
+
+    store = _store_load(args.store)
+    try:
+        res = mg.import_qdrant(store, args.url,
+                               collections=args.collections or None,
+                               batch=args.batch)
+    except mg.QdrantError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    _store_save(store, args.store)
+    print(f"imported_points={res.n_points} "
+          f"collections={','.join(res.collections) or '(none)'}")
+    if res.dropped_fields:
+        print(f"  dropped {res.n_dropped_fields} values of non-schema "
+              f"payload fields: {sorted(res.dropped_fields)}")
+    return 0
+
+
 def cmd_gallery_server(args) -> int:
     """Standalone gallery service (the Qdrant role, port 6333)."""
     from retrieval_based_object_detection_tpu.gallery.server import serve
@@ -933,6 +956,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--results-dir", default="results")
     sp.add_argument("--match-mode", default="same_class",
                     choices=("same_class", "nearest"))
+
+    sp = add("import-qdrant", cmd_import_qdrant,
+             help="migrate collections from a live Qdrant server "
+                  "(the reference's vector DB) into the gallery store")
+    sp.add_argument("--url", default="http://localhost:6333",
+                    help="Qdrant REST endpoint")
+    sp.add_argument("--store", default="gallery_store")
+    sp.add_argument("--collections", nargs="*", default=None,
+                    help="names to migrate (default: all)")
+    sp.add_argument("--batch", type=int, default=1024,
+                    help="scroll page size")
 
     sp = add("gallery-server", cmd_gallery_server,
              help="standalone gallery HTTP service (the Qdrant role)")
