@@ -457,8 +457,8 @@ def cmd_import_qdrant(args) -> int:
     store = _store_load(args.store)
     try:
         res = mg.import_qdrant(store, args.url,
-                               collections=args.collections or None,
-                               batch=args.batch)
+                               collections=args.collections,
+                               batch=args.batch, force=args.force)
     except mg.QdrantError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -967,6 +967,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="names to migrate (default: all)")
     sp.add_argument("--batch", type=int, default=1024,
                     help="scroll page size")
+    sp.add_argument("--force", action="store_true",
+                    help="recreate (wipe) existing non-empty destination "
+                         "collections")
 
     sp = add("gallery-server", cmd_gallery_server,
              help="standalone gallery HTTP service (the Qdrant role)")

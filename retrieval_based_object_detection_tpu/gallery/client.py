@@ -38,7 +38,15 @@ def _request(method: str, url: str, body: dict | None = None,
              array: np.ndarray | None = None) -> Any:
     """JSON request, or — when ``array`` is given — the binary frame
     [u32 header_len][JSON header][raw f32 bytes]: bulk vectors ship as
-    bytes instead of JSON float lists (~20× smaller, no float parsing)."""
+    bytes instead of JSON float lists (~20× smaller, no float parsing).
+
+    A server predating the binary transport chokes on the frame before
+    acting on it — HTTP 400 when the bytes happen to decode as UTF-8,
+    a dropped connection otherwise (its ``json.loads`` raises
+    UnicodeDecodeError inside the handler). In either case the request
+    is retried once as plain JSON with the array as a float list, so an
+    upgraded client keeps working against a long-running older
+    ``rbod gallery-server``."""
     if array is not None:
         header = dict(body or {})
         header["_array_key"] = array_key
@@ -53,6 +61,11 @@ def _request(method: str, url: str, body: dict | None = None,
     req = urllib.request.Request(url, data=data, method=method)
     if data is not None:
         req.add_header("Content-Type", ctype)
+    def _json_retry():
+        json_body = dict(body or {})
+        json_body[array_key or "vectors"] = array.tolist()
+        return _request(method, url, json_body)
+
     try:
         with urllib.request.urlopen(req, timeout=300) as resp:
             return json.loads(resp.read())
@@ -61,7 +74,16 @@ def _request(method: str, url: str, body: dict | None = None,
             msg = json.loads(e.read()).get("error", "")
         except Exception:
             msg = ""
+        if array is not None and e.code == 400:
+            return _json_retry()  # version skew: JSON-only server
         raise GalleryServiceError(e.code, msg) from e
+    except (urllib.error.URLError, ConnectionError) as e:
+        # A pre-binary server dies mid-request on the frame (handler
+        # UnicodeDecodeError) without having acted on it — safe to retry
+        # as JSON. A genuinely unreachable server fails the retry too.
+        if array is not None:
+            return _json_retry()
+        raise
 
 
 def _filter_body(flt: Filter | None) -> dict:

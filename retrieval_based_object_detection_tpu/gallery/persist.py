@@ -76,13 +76,23 @@ def _gallery_from_columns(name: str, meta: dict,
 
     ids = meta["ids"]
     n = len(ids)
-    g = Gallery(name, dim=int(meta["dim"]), capacity=max(1024, n),
+    dim = int(meta["dim"])
+    # Build the Gallery around the snapshot's own (writable) vector buffer
+    # instead of Gallery.__init__'s fresh allocation + full copy — at
+    # 1M×512 that saves a transient 2 GB allocation and a 2 GB memcpy.
+    g = Gallery(name, dim=dim, capacity=1,
                 distance=meta.get("distance", "cosine"))
-    g._vectors[:n] = vectors[:n]
+    if n >= 1024 and vectors.shape == (n, dim) and vectors.flags.writeable:
+        g._vectors = np.ascontiguousarray(vectors, np.float32)
+        g._capacity = n
+    else:  # small gallery (or legacy path): keep headroom, copy in
+        g._capacity = max(1024, n)
+        g._vectors = np.zeros((g._capacity, dim), np.float32)
+        g._vectors[:n] = vectors[:n]
     g._ids = list(ids)
     g._id_to_row = {pid: i for i, pid in enumerate(ids)}
     cols = PayloadColumns.import_columns(meta["columns"], n)
-    cols.grow(g._capacity)
+    cols.grow(g._capacity)  # no-op when capacities already match
     g._payloads = cols
     return g
 

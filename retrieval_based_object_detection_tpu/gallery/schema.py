@@ -163,6 +163,8 @@ class PayloadColumns:
 
     def grow(self, new_capacity: int) -> None:
         assert new_capacity >= self.capacity
+        if new_capacity == self.capacity:
+            return
         for f in self._CODED:
             col = np.full(new_capacity, -1, dtype=np.int32)
             col[: self.capacity] = self._cols[f]

@@ -188,6 +188,10 @@ def make_handler(svc: GalleryService):
                 body = self._body()
             except json.JSONDecodeError:
                 return self._json({"error": "bad json"}, 400)
+            except (ValueError, KeyError) as e:
+                # Malformed binary frame: bad header, missing _array_shape,
+                # or a byte count that doesn't match the declared shape.
+                return self._json({"error": f"bad binary frame: {e}"}, 400)
             if query and "filter" not in body:
                 from urllib.parse import parse_qs, unquote
 

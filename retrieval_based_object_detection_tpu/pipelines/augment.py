@@ -167,5 +167,5 @@ def run_augment(cfg: AugmentConfig) -> AugmentResult:
     results = parallel_map(one, work)
     n_in = sum(r[0] for r in results)
     n_out = sum(r[1] for r in results)
-    n_fail = sum(r[2] for r in results) + (len(work) - len(results))
+    n_fail = sum(r[2] for r in results)
     return AugmentResult(n_inputs=n_in, n_written=n_out, n_failed=n_fail)

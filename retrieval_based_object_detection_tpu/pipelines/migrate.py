@@ -104,13 +104,24 @@ class MigrationResult:
 def import_collection(store, base_url: str, name: str,
                       dest: str | None = None, batch: int = 1024,
                       result: MigrationResult | None = None,
-                      quiet: bool = False) -> MigrationResult:
+                      quiet: bool = False,
+                      force: bool = False) -> MigrationResult:
     """Copy one Qdrant collection into ``store`` (VectorStore or
-    RemoteVectorStore — both expose create_collection/get/upsert)."""
+    RemoteVectorStore — both expose create_collection/get/upsert).
+
+    Refuses to recreate an existing non-empty destination collection
+    unless ``force`` — a migration must never silently wipe local data.
+    """
     res = result if result is not None else MigrationResult()
     dest = dest or name
     base = base_url.rstrip("/")
     dim, distance = qdrant_collection_info(base_url, name)
+    if dest in store and not force:
+        existing = store.get(dest)
+        if len(existing) > 0:
+            raise QdrantError(
+                f"destination collection {dest!r} already holds "
+                f"{len(existing)} points; pass force to recreate it")
     gallery = store.create_collection(dest, dim=dim, distance=distance)
 
     offset = None
@@ -149,11 +160,20 @@ def import_collection(store, base_url: str, name: str,
 
 def import_qdrant(store, base_url: str,
                   collections: list[str] | None = None,
-                  batch: int = 1024, quiet: bool = False) -> MigrationResult:
-    """Migrate the named collections (default: all) from a Qdrant server."""
-    names = collections or list_qdrant_collections(base_url)
+                  batch: int = 1024, quiet: bool = False,
+                  force: bool = False) -> MigrationResult:
+    """Migrate the named collections from a Qdrant server.
+
+    ``collections=None`` means all; an explicit empty list is an error
+    (an empty shell expansion must not silently become a full import).
+    """
+    if collections is not None and not collections:
+        raise QdrantError("empty collection list: name collections to "
+                          "migrate, or omit the argument to migrate all")
+    names = collections if collections is not None \
+        else list_qdrant_collections(base_url)
     res = MigrationResult()
     for name in names:
         import_collection(store, base_url, name, batch=batch, result=res,
-                          quiet=quiet)
+                          quiet=quiet, force=force)
     return res

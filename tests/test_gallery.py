@@ -264,3 +264,29 @@ def test_legacy_format1_snapshot_still_loads(tmp_path, rng):
     recs, _ = g.scroll(limit=3, with_vectors=True)
     assert [r.payload for r in recs] == pls
     np.testing.assert_allclose(np.stack([r.vector for r in recs]), vecs)
+
+
+def test_snapshot_v2_large_load_reuses_buffer(tmp_path, rng):
+    """At >=1024 rows the format-2 load adopts the snapshot's own vector
+    buffer (no second multi-GB allocation + copy) and stays correct."""
+    from retrieval_based_object_detection_tpu.gallery import persist
+
+    g = Gallery("big", dim=16, capacity=2048)
+    n = 1500
+    vecs = rng.normal(size=(n, 16)).astype(np.float32)
+    g.upsert([f"r{i}" for i in range(n)], vecs,
+             [Payload(data_type="original_images",
+                      class_name=f"c{i % 7}", img_path=f"/b/{i}.png")
+              for i in range(n)])
+    persist.save_gallery(g, tmp_path)
+    g2 = persist.load_gallery("big", tmp_path)
+    assert len(g2) == n and g2._capacity == n
+    np.testing.assert_array_equal(g2._vectors[:n], vecs)
+    assert g2._payloads.capacity == n
+    rec = g2.get_by_path("/b/42.png")
+    assert rec.payload.class_name == "c0"
+    # post-load writes still grow cleanly past the adopted capacity
+    g2.upsert(["extra"], rng.normal(size=(1, 16)).astype(np.float32),
+              [Payload(data_type="original_images", class_name="x",
+                       img_path="/b/extra.png")])
+    assert len(g2) == n + 1

@@ -132,3 +132,88 @@ def test_binary_frame_upsert_roundtrip_precision(service, rng):
     recs = g.scroll_all(with_vectors=True)
     got = np.stack([r.vector for r in recs])
     assert (got == vecs).all()  # bit-exact, not just close
+
+
+def test_malformed_binary_frame_gets_http_400(service):
+    """Truncated/garbled octet-stream bodies must come back as a clean
+    HTTP 400, not a dropped connection."""
+    import urllib.error
+    import urllib.request
+
+    url = f"{service}/collections/whatever/points"
+    for raw in (
+        b"\x08\x00\x00\x00{}xxtrail",       # valid header, bad trailing len
+        (lambda h: (len(h).to_bytes(4, "little") + h + b"\x00" * 9))(
+            b'{"_array_key": "vectors"}'),  # no _array_shape, non-mult-of-4
+    ):
+        req = urllib.request.Request(url, data=raw, method="POST")
+        req.add_header("Content-Type", "application/octet-stream")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+
+
+def test_json_fallback_against_pre_binary_server(rng):
+    """An upgraded client against an older (JSON-only) gallery-server:
+    binary frames draw HTTP 400, and the client retries as JSON."""
+    import json as _json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from retrieval_based_object_detection_tpu.gallery.persist import (
+        load_store as _unused,  # noqa: F401  (parity with real server deps)
+    )
+    from retrieval_based_object_detection_tpu.gallery.store import VectorStore
+
+    store = VectorStore()
+    store.create_collection("old", dim=8)
+
+    class OldHandler(BaseHTTPRequestHandler):
+        """Pre-binary-transport server: _body is json.loads, always."""
+
+        def log_message(self, *a):
+            pass
+
+        def _json_out(self, obj, code=200):
+            b = _json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Length", str(len(b)))
+            self.end_headers()
+            self.wfile.write(b)
+
+        def do_POST(self):
+            raw = self.rfile.read(int(self.headers["Content-Length"]))
+            # Faithful to the old server: json.loads straight on the
+            # bytes. Raw f32 frames are usually invalid UTF-8, so this
+            # raises UnicodeDecodeError and DROPS the connection (the
+            # skew mode the client's fallback must survive).
+            try:
+                body = _json.loads(raw)
+            except _json.JSONDecodeError:
+                return self._json_out({"error": "bad json"}, 400)
+            g = store.get("old")
+            if self.path.endswith("/points"):
+                n = g.upsert(body["ids"], np.asarray(body["vectors"]),
+                             body["payloads"])
+                return self._json_out({"upserted": n})
+            if self.path.endswith("/points/search"):
+                res = g.search(np.asarray(body["queries"], np.float32),
+                               k=body["k"])
+                return self._json_out({"results": [
+                    [{"id": r.id, "score": float(r.score),
+                      "payload": r.payload.to_dict()} for r in hits]
+                    for hits in res]})
+            return self._json_out({"error": "not found"}, 404)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), OldHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        g = GalleryClient(f"http://127.0.0.1:{srv.server_address[1]}",
+                          "old", dim=8)
+        vecs = rng.normal(size=(4, 8)).astype(np.float32)
+        pls = [Payload(data_type="original_images", class_name="x",
+                       img_path=f"/o/{i}.jpg") for i in range(4)]
+        assert g.upsert([f"o{i}" for i in range(4)], vecs, pls) == 4
+        hits = g.search(vecs[1], k=2)
+        assert hits[0][0].id == "o1" and hits[0][0].score > 0.999
+    finally:
+        srv.shutdown()

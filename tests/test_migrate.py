@@ -174,3 +174,26 @@ def test_cli_import_qdrant(qdrant, tmp_path, monkeypatch, capsys):
     assert "user_note" in out
     store = load_store("gallery_store")
     assert len(store.get("prod")) == 7
+
+
+def test_import_refuses_to_wipe_existing_collection(qdrant, rng):
+    base, *_ = qdrant
+    store = VectorStore()
+    g = store.create_collection("prod", dim=8)
+    g.upsert(["keep"], rng.normal(size=(1, 8)).astype(np.float32),
+             [{"data_type": "original_images", "class_name": "mine"}])
+    with pytest.raises(mg.QdrantError, match="already holds"):
+        mg.import_qdrant(store, base, collections=["prod"], quiet=True)
+    # local point survived the refusal
+    assert store.get("prod").retrieve(["keep"], with_vectors=False)
+    # force opts in to the recreate
+    res = mg.import_qdrant(store, base, collections=["prod"], quiet=True,
+                           force=True)
+    assert res.n_points == 7
+    assert not store.get("prod").retrieve(["keep"], with_vectors=False)
+
+
+def test_import_empty_collection_list_is_an_error(qdrant):
+    base, *_ = qdrant
+    with pytest.raises(mg.QdrantError, match="empty collection list"):
+        mg.import_qdrant(VectorStore(), base, collections=[], quiet=True)
