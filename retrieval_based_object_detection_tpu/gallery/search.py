@@ -190,6 +190,99 @@ def int8_scan_topk(
     return best_s, best_i
 
 
+def pack_rows_int4(normalized_rows: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row int4 quantisation, packed two dims per byte.
+
+    Returns (packed [N, D/2] int8, scales [N] f32). Dim d and dim
+    d + D/2 share byte d (low/high nibble) so the unpacked planes are
+    contiguous query halves — see ops/int4_scan.py for the layout and
+    exactness rationale. Requires even D.
+    """
+    n, d = normalized_rows.shape
+    assert d % 2 == 0, d
+    s = jnp.maximum(jnp.abs(normalized_rows).max(axis=1, keepdims=True),
+                    1e-12) / 7.0
+    q = jnp.clip(jnp.round(normalized_rows / s), -8, 7).astype(jnp.int8)
+    lo, hi = q[:, : d // 2], q[:, d // 2:]
+    packed = (hi * jnp.int8(16) + (lo & jnp.int8(15))).astype(jnp.int8)
+    return packed, s[:, 0]
+
+
+@partial(jax.jit, static_argnames=("k", "rescore", "tile_rows", "interpret"))
+def int4_scan_topk(
+    queries: jax.Array,      # [Q, D] unnormalised f32
+    packed: jax.Array,       # [N, D/2] int8 (pack_rows_int4)
+    scales: jax.Array,       # [N] f32 per-row scales
+    gallery_f32: jax.Array,  # [N, D] normalised f32 (for exact rescoring)
+    mask: jax.Array,         # [N] bool
+    k: int,
+    rescore: int = 256,
+    tile_rows: int = 0,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Half-bandwidth serving scan: Pallas int4 kernel (per-row-scale
+    compensated integer scores — see ``ops/int4_scan.py``) →
+    ``approx_max_k`` top-``rescore`` candidates → exact f32 rescore.
+    Candidate recall vs exact top-10 simulated at 1M×512 random unit
+    rows: 100% at rescore ≥ 128."""
+    from retrieval_based_object_detection_tpu.ops.int4_scan import (
+        int4_scan_scores,
+    )
+
+    N = gallery_f32.shape[0]
+    qn = l2_normalize(queries)
+    q_i8 = quantize_rows_int8(qn)
+    penalty = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
+    scores = int4_scan_scores(q_i8, packed, scales, penalty,
+                              tile_rows=tile_rows, interpret=interpret)
+    r_eff = min(rescore, N)
+    cand_s, cand_i = jax.lax.approx_max_k(scores, k=r_eff)
+    rows = jnp.take(gallery_f32, cand_i, axis=0)  # [Q, r, D]
+    exact = jnp.einsum("qd,qrd->qr", qn, rows,
+                       preferred_element_type=jnp.float32)
+    exact = jnp.where(cand_s > NEG_INF / 2, exact, NEG_INF)
+    best_s, pos = jax.lax.top_k(exact, k)
+    best_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    return best_s, best_i
+
+
+@partial(jax.jit, static_argnames=("k", "rescore"))
+def int4_cosine_topk(
+    queries: jax.Array,      # [Q, D] unnormalised f32
+    packed: jax.Array,       # [N, D/2] int8 (pack_rows_int4)
+    scales: jax.Array,       # [N] f32
+    gallery_f32: jax.Array,  # [N, D] normalised f32
+    mask: jax.Array,         # [N] bool
+    k: int,
+    rescore: int = 256,
+) -> tuple[jax.Array, jax.Array]:
+    """XLA unpack-and-dot twin of ``int4_scan_topk`` — the off-TPU /
+    small-gallery tier, and the oracle the kernel is parity-tested
+    against (identical integer math, int32 shifts instead of the
+    kernel's float unpack)."""
+    qn = l2_normalize(queries)
+    q_i8 = quantize_rows_int8(qn)
+    p = packed.astype(jnp.int32)
+    hi = p >> 4                       # arithmetic shift: floor(b/16)
+    ulo = p & 15
+    lo = jnp.where(ulo >= 8, ulo - 16, ulo)
+    q4 = jnp.concatenate([lo, hi], axis=1).astype(jnp.int8)  # [N, D]
+    int_scores = jax.lax.dot_general(
+        q_i8, q4, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    scores = int_scores.astype(jnp.float32) * scales[None, :]
+    scores = jnp.where(mask[None, :], scores, NEG_INF)
+    r_eff = min(rescore, gallery_f32.shape[0])
+    cand_s, cand_i = jax.lax.top_k(scores, r_eff)
+    rows = jnp.take(gallery_f32, cand_i, axis=0)
+    exact = jnp.einsum("qd,qrd->qr", qn, rows,
+                       preferred_element_type=jnp.float32)
+    exact = jnp.where(cand_s > NEG_INF / 2, exact, NEG_INF)
+    best_s, pos = jax.lax.top_k(exact, k)
+    best_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    return best_s, best_i
+
+
 @partial(jax.jit, static_argnames=("k", "rescore"))
 def int8_cosine_topk(
     queries: jax.Array,      # [Q, D] unnormalised f32

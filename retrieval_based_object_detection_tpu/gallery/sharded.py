@@ -147,6 +147,51 @@ def sharded_int8_topk(
     )(queries, gallery_i8, gallery_f32, mask)
 
 
+@partial(jax.jit,
+         static_argnames=("k", "mesh", "rescore", "interpret"))
+def sharded_int4_topk(
+    queries: jax.Array,      # [Q, D] replicated, unnormalised f32
+    packed: jax.Array,       # [S*R, D/2] int4-packed, sharded
+    scales: jax.Array,       # [S*R] f32 per-row scales, sharded
+    gallery_f32: jax.Array,  # [S*R, D] normalised f32, sharded (rescore)
+    mask: jax.Array,         # [S*R] bool, sharded
+    mesh: Mesh,
+    k: int,
+    rescore: int = 256,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Distributed half-bandwidth scan: the int4 Pallas kernel + exact
+    f32 rescore per shard (ops/int4_scan.py), one ``all_gather`` merge —
+    the int8 tier's sibling at half the per-chip HBM read volume."""
+
+    def local(q, p, s, gf, m):
+        shard_id = jax.lax.axis_index(AXIS)
+        rows_per = gf.shape[0]
+        scores, idx = search_lib.int4_scan_topk(
+            q, p, s, gf, m, k=k, rescore=rescore, interpret=interpret)
+        gidx = idx + shard_id * rows_per
+        all_scores = jax.lax.all_gather(scores, AXIS)  # [S, Q, k]
+        all_idx = jax.lax.all_gather(gidx, AXIS)
+        S = all_scores.shape[0]
+        flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(q.shape[0],
+                                                              S * k)
+        flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(q.shape[0],
+                                                           S * k)
+        best_s, pos = jax.lax.top_k(flat_s, k)
+        best_i = jnp.take_along_axis(flat_i, pos, axis=1)
+        return best_s, best_i
+
+    from jax import shard_map
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS, None), P(AXIS), P(AXIS, None), P(AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(queries, packed, scales, gallery_f32, mask)
+
+
 class ShardedGallerySearcher:
     """Immutable search view over a Gallery's rows, sharded across a mesh.
 
@@ -161,6 +206,8 @@ class ShardedGallerySearcher:
         self.n_rows = vectors.shape[0]
         self.dev_vectors, self.dev_mask = build_sharded(vectors, mask, mesh)
         self._dev_int8: jax.Array | None = None  # int8 scan mirror
+        # int4 tier: (packed [S*R, D/2] int8, scales [S*R] f32), sharded
+        self._dev_int4: tuple[jax.Array, jax.Array] | None = None
 
     def _build_int8(self) -> None:
         """Per-shard int8 mirror (lazy): quantised on-device from the
@@ -169,6 +216,12 @@ class ShardedGallerySearcher:
         query side (search_lib.quantize_rows_int8) — the exact-integer
         score guarantee depends on them matching bit-for-bit."""
         self._dev_int8 = jax.jit(search_lib.quantize_rows_int8)(
+            self.dev_vectors)
+
+    def _build_int4(self) -> None:
+        """Per-shard int4 mirror (lazy): packed on-device from the
+        sharded rows; packed planes and scales stay sharded."""
+        self._dev_int4 = jax.jit(search_lib.pack_rows_int4)(
             self.dev_vectors)
 
     @classmethod
@@ -183,8 +236,8 @@ class ShardedGallerySearcher:
                method: str | None = None,
                extra_mask: np.ndarray | None = None,
                ) -> tuple[np.ndarray, np.ndarray]:
-        """``method``: "exact"/"bf16" (XLA matmul tier) or "int8" (tiled
-        Pallas scan + exact f32 rescore per shard). Defaults from
+        """``method``: "exact"/"bf16" (XLA matmul tier), "int8", or
+        "int4" (Pallas scan + exact f32 rescore per shard). Defaults from
         ``exact`` like Gallery.search. ``extra_mask`` is an [n_rows]
         bool ANDed with the build-time mask device-side (sharded
         alongside the rows) for per-query filters."""
@@ -211,6 +264,18 @@ class ShardedGallerySearcher:
 
             scores, idx = sharded_int8_topk(
                 jnp.asarray(queries), self._dev_int8, self.dev_vectors,
+                mask, self.mesh, k=k_eff,
+                rescore=min(max(8 * k_eff, 256), per_shard),
+                interpret=not platform.is_tpu(),
+            )
+        elif method == "int4":
+            if self._dev_int4 is None:
+                self._build_int4()
+            from retrieval_based_object_detection_tpu.utils import platform
+
+            packed, scales = self._dev_int4
+            scores, idx = sharded_int4_topk(
+                jnp.asarray(queries), packed, scales, self.dev_vectors,
                 mask, self.mesh, k=k_eff,
                 rescore=min(max(8 * k_eff, 256), per_shard),
                 interpret=not platform.is_tpu(),

@@ -54,6 +54,16 @@ def _quantize_int8(x: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def _pack_int4(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    return search_lib.pack_rows_int4(x)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _patch_1d(buf: jax.Array, upd: jax.Array, row: jax.Array) -> jax.Array:
+    return jax.lax.dynamic_update_slice(buf, upd, (row,))
+
+
+@jax.jit
 def _pack_results(scores: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.stack([scores, idx.astype(jnp.float32)])
 
@@ -91,6 +101,8 @@ class Gallery:
         self._dev_f32: jax.Array | None = None   # normalised f32 (exact)
         self._dev_bf16: jax.Array | None = None  # normalised bf16 (serving)
         self._dev_int8: jax.Array | None = None  # quantised [N, D] scan tier
+        # int4 tier: (packed [N, D/2] int8, per-row scales [N] f32)
+        self._dev_int4: tuple[jax.Array, jax.Array] | None = None
         # Host rows [0, _synced) are reflected in the mirrors except for
         # the contiguous dirty range [_dirty_lo, _dirty_hi).
         self._synced = 0
@@ -319,6 +331,7 @@ class Gallery:
     def _invalidate_mirrors(self) -> None:
         self._padded = 0
         self._dev_f32 = self._dev_bf16 = self._dev_int8 = None
+        self._dev_int4 = None
         self._synced = 0
         self._dirty_lo = self._dirty_hi = 0
         self._mask_cache.clear()
@@ -359,6 +372,7 @@ class Gallery:
                         if target >= self.INT8_SCAN_MIN_ROWS else 256)
             self._padded = search_lib.pad_rows(target, multiple)
             self._dev_f32 = self._dev_bf16 = self._dev_int8 = None
+            self._dev_int4 = None
             self._mask_cache.clear()
         # int8 tiers (XLA and Pallas-tiled) rescore from and re-derive off
         # the f32 mirror, so i8 implies f32.
@@ -402,6 +416,11 @@ class Gallery:
             if self._dev_int8 is not None:
                 self._dev_int8 = _patch_chunk(self._dev_int8,
                                               _quantize_int8(upd), s)
+            if self._dev_int4 is not None:
+                packed, scales = self._dev_int4
+                upd_p, upd_s = _pack_int4(upd)
+                self._dev_int4 = (_patch_chunk(packed, upd_p, s),
+                                  _patch_1d(scales, upd_s, s))
             start += chunk
 
     def _device_mask(self, flt: Filter | None) -> jax.Array:
@@ -442,8 +461,11 @@ class Gallery:
 
         ``method``: "exact" (f32 HIGHEST), "bf16" (MXU scan), "int8"
         (quarter-bandwidth int8 scan + exact f32 rescore of the top
-        candidates), or None — which means exact when ``exact=True``,
-        else auto (int8 on TPU at ≥INT8_SCAN_MIN_ROWS rows, bf16 below).
+        candidates), "int4" (HALF the int8 scan's HBM bytes — per-row
+        4-bit packing, scale-compensated in-kernel, same exact f32
+        rescore; even dims only), or None — which means exact when
+        ``exact=True``, else auto (int8 on TPU at ≥INT8_SCAN_MIN_ROWS
+        rows, bf16 below).
         """
         n = len(self._ids)
         if method is None:
@@ -458,21 +480,42 @@ class Gallery:
 
                 method = ("int8" if n >= self.INT8_SCAN_MIN_ROWS
                           and platform.is_tpu() else "bf16")
-        if method == "int8" and self.distance != "cosine":
+        if method in ("int8", "int4") and self.distance != "cosine":
             raise ValueError(
-                "method='int8' requires a cosine collection (the int8 "
-                "tier quantises unit-norm rows)")
+                f"method={method!r} requires a cosine collection (the "
+                "quantised tiers assume unit-norm rows)")
+        if method == "int4" and self.dim % 2:
+            raise ValueError("method='int4' requires an even dim "
+                             "(two dims pack per byte)")
         queries = np.asarray(queries, dtype=np.float32)
         single = queries.ndim == 1
         if single:
             queries = queries[None, :]
         if n == 0:
             return [[] for _ in range(queries.shape[0])]
-        self._sync_mirrors(f32=(method in ("exact", "int8")),
+        self._sync_mirrors(f32=(method in ("exact", "int8", "int4")),
                            bf16=(method == "bf16"), i8=(method == "int8"))
         mask = self._device_mask(flt)
         k_eff = min(k, n)
-        if method == "int8":
+        if method == "int4":
+            rescore = min(max(8 * k_eff, 256), self._padded)
+            from retrieval_based_object_detection_tpu.utils import platform
+
+            if self._dev_int4 is None:
+                # Packed on-device from the (already patched) f32 mirror.
+                self._dev_int4 = _pack_int4(self._dev_f32)
+            packed, scales = self._dev_int4
+            if platform.is_tpu():
+                scores, idx = search_lib.int4_scan_topk(
+                    jnp.asarray(queries), packed, scales, self._dev_f32,
+                    mask, k=k_eff, rescore=rescore,
+                )
+            else:
+                scores, idx = search_lib.int4_cosine_topk(
+                    jnp.asarray(queries), packed, scales, self._dev_f32,
+                    mask, k=k_eff, rescore=rescore,
+                )
+        elif method == "int8":
             rescore = min(max(8 * k_eff, 256), self._padded)
             from retrieval_based_object_detection_tpu.utils import platform
 

@@ -152,3 +152,23 @@ def test_sharded_extra_mask(rng):
     assert idx[0, 0] == 5
     _, idx2 = s.search(q, k=1, extra_mask=extra)
     assert idx2[0, 0] != 5
+
+
+def test_sharded_int4_matches_exact(rng):
+    """Per-shard int4 Pallas scan (interpret off-TPU) + f32 rescore
+    + all_gather merge equals the exact sharded path."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("gallery",))
+    n, d = 700, 64
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    mask = np.ones(n, bool)
+    mask[::11] = False
+    q = rng.normal(size=(3, d)).astype(np.float32)
+
+    s = ShardedGallerySearcher(vectors, mask, mesh)
+    ex_s, ex_i = s.search(q, k=5, method="exact")
+    i4_s, i4_i = s.search(q, k=5, method="int4")
+    np.testing.assert_allclose(i4_s, ex_s, atol=1e-5)
+    assert (i4_i == ex_i).mean() > 0.9  # ties may permute
