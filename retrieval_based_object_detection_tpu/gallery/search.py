@@ -195,8 +195,10 @@ def pack_rows_int4(normalized_rows: jax.Array) -> tuple[jax.Array, jax.Array]:
 
     Returns (packed [N, D/2] int8, scales [N] f32). Dim d and dim
     d + D/2 share byte d (low/high nibble) so the unpacked planes are
-    contiguous query halves — see ops/int4_scan.py for the layout and
-    exactness rationale. Requires even D.
+    contiguous query halves; the low nibble is stored biased by +8
+    (``b = 16*hi + lo + 8``) so the scan kernel can reconstruct the
+    low-nibble dot on the MXU — see ops/int4_scan.py for the layout
+    and exactness rationale. Requires even D.
     """
     n, d = normalized_rows.shape
     assert d % 2 == 0, d
@@ -204,7 +206,7 @@ def pack_rows_int4(normalized_rows: jax.Array) -> tuple[jax.Array, jax.Array]:
                     1e-12) / 7.0
     q = jnp.clip(jnp.round(normalized_rows / s), -8, 7).astype(jnp.int8)
     lo, hi = q[:, : d // 2], q[:, d // 2:]
-    packed = (hi * jnp.int8(16) + (lo & jnp.int8(15))).astype(jnp.int8)
+    packed = (hi * jnp.int8(16) + lo + jnp.int8(8)).astype(jnp.int8)
     return packed, s[:, 0]
 
 
@@ -264,8 +266,7 @@ def int4_cosine_topk(
     q_i8 = quantize_rows_int8(qn)
     p = packed.astype(jnp.int32)
     hi = p >> 4                       # arithmetic shift: floor(b/16)
-    ulo = p & 15
-    lo = jnp.where(ulo >= 8, ulo - 16, ulo)
+    lo = (p & 15) - 8                 # biased low nibble (pack_rows_int4)
     q4 = jnp.concatenate([lo, hi], axis=1).astype(jnp.int8)  # [N, D]
     int_scores = jax.lax.dot_general(
         q_i8, q4, dimension_numbers=(((1,), (1,)), ((), ())),

@@ -23,18 +23,32 @@ Quantisation scheme (per-row scale, compensated in-kernel):
 Packing layout: dim d and dim d + D/2 share byte d (low / high nibble),
 so the unpacked planes are contiguous halves of the query — no
 interleave, no gathers (Mosaic has no general gather; DESIGN.md
-"Mosaic/Pallas lessons"). The unpack itself is float arithmetic
-(floor/mul — plain VPU ops) rather than int8 shifts:
+"Mosaic/Pallas lessons"). The low nibble is stored BIASED:
 
-    b     = 16*hi + ulo,  ulo = lo mod 16   (two's-complement byte)
-    fhi   = floor(b / 16)            in [-8, 7]
-    ulo   = b - 16*fhi               in [0, 15]
-    lo    = ulo - 16*[ulo >= 8]      in [-8, 7]
+    b = 16*hi + (lo + 8),   hi, lo in [-8, 7],  b in [-128, 127]
+
+which moves almost the whole unpack onto the MXU. The kernel's only
+VPU unpack work is the high nibble, fhi = floor(b / 16) (exact because
+lo + 8 in [0, 15]); the low-nibble dot is *algebra*, not extraction:
+
+    q_lo . (lo + 8) = q_lo . b - 16 * (q_lo . fhi)
+    S = q_lo.lo + q_hi.hi
+      = (q_lo . b) - 16*(q_lo . fhi) + (q_hi . fhi) - 8 * sum(q_lo)
+
+i.e. one matmul against the raw bytes, one against fhi with [q_lo; q_hi]
+stacked (2Q rows — the MXU runs far under row capacity at serving batch
+sizes, so the third matmul is nearly free), and a per-query constant
+bias subtracted before the per-row scale. This replaced a 7-op/byte
+floor-chain unpack (v1: mod-16 + branch-free sign extension) that made
+the kernel VPU-bound — measured v1 0.789 ms @1M vs int8's 0.861, far
+short of the 1.77x byte-traffic ratio.
 
 Exactness of the integer dot through the bf16 MXU: every operand is an
-exact small integer in bf16 (|q8| <= 127 < 256, |q4| <= 8), MXU products
-are formed in full precision, and the f32 accumulation is exact because
-127 * 8 * 512 = 520k < 2^24.
+exact small integer in bf16 (|q8| <= 127 and |b| <= 128, both < 2^8
+ulp-exact range; |fhi| <= 8), MXU products are formed in full
+precision, and every f32 accumulation/combination stays exact because
+the worst-case magnitude 127*128*256 + 16*127*8*256 + 127*8*256 + 8*127*256
+= 8.7M < 2^24.
 
 Role: `gallery.search.int4_scan_topk` wraps this with candidate
 selection + exact f32 rescore; `Gallery.search(method="int4")` routes
@@ -50,31 +64,35 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_ROWS = 2048  # rows per grid step (512 KB packed blocks)
+TILE_ROWS = 8192  # rows per grid step (2 MB packed blocks; measured
+#                   @1M x 512: 0.421 ms scan vs 0.522 at 2048 — bigger
+#                   tiles amortise the per-tile unpack/matmul ramp;
+#                   16384 exceeds the 16M scoped-VMEM default)
 
 
-def _scan_kernel(q_lo_ref, q_hi_ref, packed_ref, scale_ref, pen_ref,
+def _scan_kernel(q_ref, packed_ref, scale_ref, pen_ref, bias_ref,
                  out_ref):
-    # q_lo/q_hi: [Q, D/2] bf16 (int8-valued query halves);
-    # packed: [T, D/2] int8 (two int4 per byte); scale: [1, T] f32;
-    # pen: [1, T] f32 (0 valid / -inf masked); out: [Q, T] f32.
-    # Unpack in f32 (v5e's VPU has no bf16 ALU ops — floor/cmp on bf16
-    # fail Mosaic); values are small integers so every step is exact.
-    fb = packed_ref[:].astype(jnp.float32)      # |b| <= 128
-    fhi = jnp.floor(fb * 0.0625)                # floor(b/16) in [-8, 7]
-    ulo = fb - 16.0 * fhi                       # b mod 16, in [0, 15]
-    # Sign-extend the low nibble without a compare: floor(ulo/8) is 1
-    # exactly when ulo >= 8.
-    flo = ulo - 16.0 * jnp.floor(ulo * 0.125)
-    dots = jax.lax.dot_general(
-        q_lo_ref[:], flo.astype(jnp.bfloat16),
+    # q: [2Q, D/2] bf16 ([q_lo; q_hi] stacked, int8-valued);
+    # packed: [T, D/2] int8 (b = 16*hi + lo + 8); scale: [1, T] f32;
+    # pen: [1, T] f32 (0 valid / -inf masked); bias: [Q, 1] f32
+    # (8 * sum(q_lo)); out: [Q, T] f32.
+    # Only the high nibble is unpacked, in f32 (v5e's VPU has no bf16
+    # ALU ops — floor/cmp on bf16 fail Mosaic); the low nibble rides
+    # the raw-byte matmul (module docstring algebra). All integers are
+    # small enough that every step is exact.
+    q = out_ref.shape[0]
+    fb = packed_ref[:].astype(jnp.float32)           # |b| <= 128
+    fhi = jnp.floor(fb * 0.0625).astype(jnp.bfloat16)  # hi in [-8, 7]
+    d1 = jax.lax.dot_general(                        # q_lo . b
+        q_ref[:q], fb.astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dots += jax.lax.dot_general(
-        q_hi_ref[:], fhi.astype(jnp.bfloat16),
+    d2 = jax.lax.dot_general(                        # [q_lo; q_hi] . hi
+        q_ref[:], fhi,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    out_ref[:] = dots * scale_ref[:] + pen_ref[:]
+    ints = d1 - 16.0 * d2[:q] + d2[q:] - bias_ref[:]
+    out_ref[:] = ints * scale_ref[:] + pen_ref[:]
 
 
 @partial(jax.jit, static_argnames=("tile_rows", "interpret"))
@@ -91,23 +109,26 @@ def int4_scan_scores(
     N, D2 = packed.shape
     assert D == 2 * D2, (D, D2)
     if tile_rows == 0:
-        tile_rows = next(t for t in (2048, 1024, 512, 256)
+        tile_rows = next(t for t in (8192, 4096, 2048, 1024, 512, 256)
                          if N % t == 0)
     assert N % tile_rows == 0, (N, tile_rows)
     q = q_i8.astype(jnp.bfloat16)
+    q_stack = jnp.concatenate([q[:, :D2], q[:, D2:]], axis=0)  # [2Q, D2]
+    bias = 8.0 * jnp.sum(q_i8[:, :D2].astype(jnp.float32), axis=1,
+                         keepdims=True)                        # [Q, 1]
     return pl.pallas_call(
         _scan_kernel,
         grid=(N // tile_rows,),
         in_specs=[
-            pl.BlockSpec((Q, D2), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Q, D2), lambda i: (0, 0),
+            pl.BlockSpec((2 * Q, D2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_rows, D2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_rows), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_rows), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((Q, tile_rows), lambda i: (0, i),
@@ -117,5 +138,5 @@ def int4_scan_scores(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(q[:, :D2], q[:, D2:], packed, scales.reshape(1, -1),
-      penalty.reshape(1, -1))
+    )(q_stack, packed, scales.reshape(1, -1), penalty.reshape(1, -1),
+      bias)

@@ -21,11 +21,10 @@ def _normed(rng, n, d=DIM):
 
 
 def _unpack_np(packed):
-    """NumPy oracle for the nibble layout."""
+    """NumPy oracle for the nibble layout (b = 16*hi + lo + 8)."""
     p = packed.astype(np.int32)
     hi = p >> 4
-    ulo = p & 15
-    lo = np.where(ulo >= 8, ulo - 16, ulo)
+    lo = (p & 15) - 8
     return np.concatenate([lo, hi], axis=1)
 
 
@@ -47,7 +46,8 @@ def test_pack_roundtrip_bits(rng):
 def test_pack_handles_zero_rows(rng):
     rows = np.zeros((4, DIM), np.float32)
     packed, scales = S.pack_rows_int4(jnp.asarray(rows))
-    assert np.asarray(packed).max() == 0 and np.asarray(scales).min() > 0
+    assert (_unpack_np(np.asarray(packed)) == 0).all()
+    assert np.asarray(scales).min() > 0
 
 
 def test_kernel_interpret_matches_oracle(rng):
