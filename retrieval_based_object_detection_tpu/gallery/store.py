@@ -461,9 +461,11 @@ class Gallery:
 
         ``method``: "exact" (f32 HIGHEST), "bf16" (MXU scan), "int8"
         (quarter-bandwidth int8 scan + exact f32 rescore of the top
-        candidates), "int4" (HALF the int8 scan's HBM bytes — per-row
-        4-bit packing, scale-compensated in-kernel, same exact f32
-        rescore; even dims only), or None — which means exact when
+        candidates), "int4" (HALF the int8 scan's HBM bytes and the
+        fastest tier — per-row 4-bit packing, scale-compensated
+        in-kernel, same f32 rescore so hit scores are exact, but the
+        top-k SET is ~99.3% of exact at 1M (4-bit resolution floor);
+        even dims only), or None — which means exact when
         ``exact=True``, else auto (int8 on TPU at ≥INT8_SCAN_MIN_ROWS
         rows, bf16 below).
         """

@@ -14,11 +14,18 @@ Quantisation scheme (per-row scale, compensated in-kernel):
     the one largest coordinate anywhere in the gallery).
   * integer scores q8_query . q4_row are computed exactly (see below),
     then multiplied by s_row IN-kernel — ranking is proportional to the
-    quantised dot, unbiased across rows. Simulated top-10 candidate
-    recall vs exact f32 at 1M x 512 random unit vectors (the near-tie
-    worst case): 100% at rescore >= 128.
+    quantised dot, unbiased across rows.
   * the f32 rescore of the top candidates (gallery/search.int4_scan_topk)
-    then recovers exact cosine top-k, same contract as the int8 tier.
+    recovers exact cosine scores, and exact top-k whenever the true
+    top-k survives into the candidate set. Unlike the int8 tier (100%
+    measured), 4-bit resolution makes that APPROXIMATE at the margin:
+    hardware-measured top-10 agreement vs exact f32 at 1M x 512, 256
+    queries = 99.2% (rescore=128) / 99.3% (256), plateauing ~99.4% by
+    rescore=1024 — the missing items are resolution casualties, not
+    rescore-depth ones (MSE-optimal clipping scales don't move it;
+    measured both random near-tie and clustered distributions). The
+    exact-auto default therefore stays int8; int4 is the opt-in
+    latency/capacity tier.
 
 Packing layout: dim d and dim d + D/2 share byte d (low / high nibble),
 so the unpacked planes are contiguous halves of the query — no
@@ -109,8 +116,17 @@ def int4_scan_scores(
     N, D2 = packed.shape
     assert D == 2 * D2, (D, D2)
     if tile_rows == 0:
-        tile_rows = next(t for t in (8192, 4096, 2048, 1024, 512, 256)
-                         if N % t == 0)
+        # Largest tile that divides N AND fits scoped VMEM (16M default):
+        # double-buffered packed block + f32 output block + the resident
+        # query stack, with headroom for the fhi temporary. At Q=16 this
+        # picks 8192 (measured 0.421 ms scan @1M vs 0.522 at 2048); at
+        # Q=256 the [Q, T] output block forces 2048.
+        budget = 12 << 20
+        tile_rows = next(
+            (t for t in (8192, 4096, 2048, 1024, 512)
+             if N % t == 0
+             and 2 * (t * D2 + 4 * Q * t) + 3 * t * D2 <= budget),
+            256)
     assert N % tile_rows == 0, (N, tile_rows)
     q = q_i8.astype(jnp.bfloat16)
     q_stack = jnp.concatenate([q[:, :D2], q[:, D2:]], axis=0)  # [2Q, D2]
