@@ -285,6 +285,62 @@ def bench_gallery_scan_int4(quick: bool) -> dict:
     return out
 
 
+def bench_capacity_10m(quick: bool) -> dict:
+    """Single-chip capacity mode: 10M x 512 rows as int4 packed planes
+    (2.5 GB) + bf16 rescore mirror (10 GB) — ~12.5 GB of a v5e's 16 GB
+    HBM, 10x the 1M north-star scale. The f32 mirror alone would need
+    20 GB, so rescore runs against bf16 (~3e-4 score drift)."""
+    import jax
+    import jax.numpy as jnp
+
+    from retrieval_based_object_detection_tpu.gallery import search as S
+    from retrieval_based_object_detection_tpu.utils import platform
+
+    if not platform.is_tpu():
+        return {"skipped": "capacity bench needs the TPU backend's HBM"}
+    if quick:
+        return {"skipped": "10M-row build is not quick (--quick)"}
+    n, d, chunk = 10 * (1 << 20), 512, 1 << 19
+    bf16 = jnp.zeros((n, d), jnp.bfloat16)
+    packed = jnp.zeros((n, d // 2), jnp.int8)
+    scales = jnp.zeros((n,), jnp.float32)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def fill(bf16, packed, scales, key, start):
+        g = jax.random.normal(key, (chunk, d), jnp.float32)
+        g = g / jnp.linalg.norm(g, axis=1, keepdims=True)
+        p, s = S.pack_rows_int4(g)
+        bf16 = jax.lax.dynamic_update_slice(bf16, g.astype(jnp.bfloat16),
+                                            (start, 0))
+        packed = jax.lax.dynamic_update_slice(packed, p, (start, 0))
+        scales = jax.lax.dynamic_update_slice(scales, s, (start,))
+        return bf16, packed, scales
+
+    keys = jax.random.split(jax.random.key(11), n // chunk)
+    for i in range(n // chunk):
+        bf16, packed, scales = fill(bf16, packed, scales, keys[i],
+                                    jnp.int32(i * chunk))
+    mask = jnp.ones(n, bool)
+    q = jax.random.normal(jax.random.key(12), (16, d), jnp.float32)
+    inner = 40
+
+    @partial(jax.jit, static_argnames=("m",))
+    def run(q, p, s, gb, mask, m):
+        def body(i, acc):
+            sc, _ = S.int4_scan_topk(q + i * 1e-6, p, s, gb, mask,
+                                     k=10, rescore=256)
+            return acc + jnp.sum(sc)
+        return jax.lax.fori_loop(0, m, body, jnp.float32(0))
+
+    dt = timeit(lambda: _fetch(run(q, packed, scales, bf16, mask, inner)),
+                iters=3)
+    return {
+        "rows": n,
+        "hbm_gb": round((n * d * 2 + n * d // 2 + n * 4) / 2**30, 2),
+        "ms_per_16query_batch": round(dt / inner * 1000, 3),
+    }
+
+
 def bench_ingest(quick: bool) -> dict:
     """Write-path scalability (VERDICT #3): batched columnar upsert
     throughput at scale, first-query mirror build, and the cost of a
@@ -377,8 +433,8 @@ def main() -> None:
     ap.add_argument("--json", default=None)
     ap.add_argument("--only", nargs="*", default=None,
                     choices=["embed", "preprocess", "delegates", "serving",
-                             "gallery", "scan", "scan_int4", "store_api",
-                             "ingest"])
+                             "gallery", "scan", "scan_int4", "capacity_10m",
+                             "store_api", "ingest"])
     args = ap.parse_args()
 
     benches = {
@@ -389,6 +445,7 @@ def main() -> None:
         "gallery": bench_gallery_scaling,
         "scan": bench_gallery_scan_kernel,
         "scan_int4": bench_gallery_scan_int4,
+        "capacity_10m": bench_capacity_10m,
         "store_api": bench_store_api,
         "ingest": bench_ingest,
     }

@@ -215,7 +215,9 @@ def int4_scan_topk(
     queries: jax.Array,      # [Q, D] unnormalised f32
     packed: jax.Array,       # [N, D/2] int8 (pack_rows_int4)
     scales: jax.Array,       # [N] f32 per-row scales
-    gallery_f32: jax.Array,  # [N, D] normalised f32 (for exact rescoring)
+    gallery_f32: jax.Array,  # [N, D] normalised rows for rescoring —
+    #                          f32 (exact) or bf16 (capacity mode: the
+    #                          10 GB mirror that fits 10M rows/chip)
     mask: jax.Array,         # [N] bool
     k: int,
     rescore: int = 256,
@@ -224,8 +226,9 @@ def int4_scan_topk(
 ) -> tuple[jax.Array, jax.Array]:
     """Half-bandwidth serving scan: Pallas int4 kernel (per-row-scale
     compensated integer scores — see ``ops/int4_scan.py``) →
-    ``approx_max_k`` top-``rescore`` candidates → exact f32 rescore.
-    Scores of returned hits are exact cosine; the top-k SET is
+    ``approx_max_k`` top-``rescore`` candidates → rescore against the
+    full-precision mirror. Scores of returned hits are exact cosine
+    with an f32 mirror (bf16 mirror: ~3e-4 drift); the top-k SET is
     approximate at the margin — hardware-measured top-10 agreement vs
     exact f32 @1M×512: 99.3% at rescore=256 (the 4-bit resolution
     floor; see ops/int4_scan.py). Use the int8 tier when exactness is
@@ -243,7 +246,7 @@ def int4_scan_topk(
     r_eff = min(rescore, N)
     cand_s, cand_i = jax.lax.approx_max_k(scores, k=r_eff)
     rows = jnp.take(gallery_f32, cand_i, axis=0)  # [Q, r, D]
-    exact = jnp.einsum("qd,qrd->qr", qn, rows,
+    exact = jnp.einsum("qd,qrd->qr", qn.astype(rows.dtype), rows,
                        preferred_element_type=jnp.float32)
     exact = jnp.where(cand_s > NEG_INF / 2, exact, NEG_INF)
     best_s, pos = jax.lax.top_k(exact, k)

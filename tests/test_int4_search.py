@@ -133,6 +133,24 @@ def test_int4_mirror_patches_after_write(rng):
     assert hits[0].id == "hit" and hits[0].score > 0.999
 
 
+def test_int4_bf16_rescore_mirror(rng):
+    """Capacity mode: rescoring against a bf16 mirror (the 10M-rows/chip
+    configuration) returns the same top-k with ~1e-2 score drift."""
+    n = 1024
+    rows = _normed(rng, n)
+    queries = rng.normal(size=(4, DIM)).astype(np.float32)
+    packed, scales = S.pack_rows_int4(jnp.asarray(rows))
+    mask = jnp.ones(n, bool)
+    g32 = jnp.asarray(rows)
+    s32, i32 = S.int4_scan_topk(jnp.asarray(queries), packed, scales,
+                                g32, mask, k=5, rescore=64, interpret=True)
+    s16, i16 = S.int4_scan_topk(jnp.asarray(queries), packed, scales,
+                                g32.astype(jnp.bfloat16), mask, k=5,
+                                rescore=64, interpret=True)
+    assert (np.asarray(i32) == np.asarray(i16)).mean() > 0.9  # bf16 ties
+    np.testing.assert_allclose(np.asarray(s16), np.asarray(s32), atol=2e-2)
+
+
 def test_int4_rejects_odd_dim(rng):
     g = Gallery("odd", dim=33)
     vecs = rng.normal(size=(10, 33)).astype(np.float32)
