@@ -537,10 +537,13 @@ def cmd_serve(args) -> int:
         params, gallery, config,
         delegate_type=args.delegate_type, case=args.case,
         data_type=args.data_type)
-    srv = serve_http(detector, host=args.host, port=args.port)
+    srv = serve_http(detector, host=args.host, port=args.port,
+                     max_batch=args.max_batch,
+                     batch_wait_ms=args.batch_wait_ms)
     print(f"serving retrieval-as-detection on "
           f"http://{args.host}:{srv.server_address[1]}/detect "
-          f"({len(detector.classes)} classes)")
+          f"({len(detector.classes)} classes, micro-batch "
+          f"{args.max_batch})")
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
@@ -997,6 +1000,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--data-type", default="original_images")
     sp.add_argument("--host", default="0.0.0.0")
     sp.add_argument("--port", type=int, default=8080)
+    sp.add_argument("--max-batch", type=int, default=16,
+                    help="micro-batch concurrent requests into shared "
+                         "device dispatches (1 disables)")
+    sp.add_argument("--batch-wait-ms", type=float, default=4.0,
+                    help="max co-arrival wait before dispatching a "
+                         "partial batch")
 
     sp = add("e2e", cmd_e2e,
              help="full pipeline in one shot: label->crop->segment->embed->"

@@ -164,8 +164,87 @@ class RetrievalDetector:
         ]
 
 
+class MicroBatcher:
+    """Dynamic request batching for the serving endpoint.
+
+    Batch-1 dispatches underutilise the chip ~7× vs batch-16 (DESIGN.md
+    serving numbers), and the HTTP server IS concurrent
+    (ThreadingHTTPServer) — so concurrent requests should share one
+    fused dispatch. Handler threads ``submit()`` a canvas and block; a
+    single worker takes the first queued request, waits up to
+    ``max_wait_ms`` for co-arrivals (the solo-request latency cost of
+    batching — small next to a batch-1 dispatch), pads the batch up to
+    the next size in ``sizes`` (bounding jit cache growth to
+    len(sizes) shapes), runs ONE ``detector.detect``, and distributes
+    per-image results.
+    """
+
+    def __init__(self, detector: RetrievalDetector, max_batch: int = 16,
+                 max_wait_ms: float = 4.0):
+        import queue
+        import threading
+
+        self.detector = detector
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self.sizes = [s for s in (1, 2, 4, 8, 16, 32, 64)
+                      if s <= max_batch] or [1]
+        self._q: "queue.Queue[tuple]" = queue.Queue()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+        self.batch_sizes: list[int] = []  # observability: actual batches
+
+    def submit(self, canvas: np.ndarray) -> dict:
+        """Blocking: one [H, W, 3] canvas → its detection dict."""
+        import threading
+
+        done = threading.Event()
+        holder: dict = {}
+        self._q.put((canvas, holder, done))
+        done.wait()
+        if "error" in holder:
+            raise RuntimeError(holder["error"])
+        return holder["result"]
+
+    def _drain(self) -> list[tuple]:
+        import queue
+        import time as _time
+
+        items = [self._q.get()]  # blocks for the first request
+        deadline = _time.monotonic() + self.max_wait_s
+        while len(items) < self.max_batch:
+            timeout = deadline - _time.monotonic()
+            if timeout <= 0 and self._q.empty():
+                break
+            try:
+                items.append(self._q.get(timeout=max(timeout, 0)))
+            except queue.Empty:
+                break
+        return items
+
+    def _worker(self) -> None:
+        while True:
+            items = self._drain()
+            canvases = [c for c, _, _ in items]
+            n = len(canvases)
+            padded = next(s for s in self.sizes if s >= n)
+            batch = np.stack(
+                canvases + [canvases[0]] * (padded - n))
+            try:
+                results = self.detector.detect(batch)[:n]
+                self.batch_sizes.append(n)
+                for (_, holder, done), res in zip(items, results):
+                    holder["result"] = res
+                    done.set()
+            except Exception as e:  # fail the waiting requests, not the loop
+                for _, holder, done in items:
+                    holder["error"] = f"{type(e).__name__}: {e}"
+                    done.set()
+
+
 def serve_http(detector: RetrievalDetector, host: str = "0.0.0.0",
-               port: int = 8080, serving_size: int = 512):
+               port: int = 8080, serving_size: int = 512,
+               max_batch: int = 16, batch_wait_ms: float = 4.0):
     """POST /detect with image bytes → JSON detection. Returns the server
     (call serve_forever).
 
@@ -174,6 +253,11 @@ def serve_http(detector: RetrievalDetector, host: str = "0.0.0.0",
     retraces and recompiles the whole encoder and the jit cache grows
     without bound in a long-lived service. Returned boxes are mapped back
     to the original image's pixel coordinates.
+
+    Concurrent requests are micro-batched into shared device dispatches
+    (``MicroBatcher``): up to ``max_batch`` co-arriving uploads within
+    ``batch_wait_ms`` run as one fused batch. ``max_batch=1`` disables
+    batching.
     """
     import io
     import json
@@ -182,6 +266,9 @@ def serve_http(detector: RetrievalDetector, host: str = "0.0.0.0",
     from retrieval_based_object_detection_tpu.pipelines.labeling import (
         letterbox,
     )
+
+    batcher = (MicroBatcher(detector, max_batch, batch_wait_ms)
+               if max_batch > 1 else None)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
@@ -210,7 +297,12 @@ def serve_http(detector: RetrievalDetector, host: str = "0.0.0.0",
                 self._json({"error": "not an image"}, 400)
                 return
             canvas, scale = letterbox(arr, serving_size)
-            det = detector.detect(canvas[None])[0]
+            try:
+                det = (batcher.submit(canvas) if batcher is not None
+                       else detector.detect(canvas[None])[0])
+            except RuntimeError as e:
+                self._json({"error": str(e)}, 500)
+                return
             det["box"] = [
                 float(np.clip(v / scale, 0,
                               arr.shape[1] if i % 2 == 0 else arr.shape[0]))

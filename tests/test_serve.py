@@ -155,3 +155,96 @@ def test_http_letterbox_maps_boxes_back(detector):
         assert 10 <= y1 <= 45 and 110 <= y2 <= 160, det["box"]
     finally:
         srv.shutdown()
+
+
+class _CountingDetector:
+    """Stands in for RetrievalDetector: records batch sizes, tags each
+    image with a value derived from its contents so result routing is
+    checkable."""
+
+    def __init__(self):
+        self.batches = []
+
+    def detect(self, images):
+        self.batches.append(images.shape[0])
+        return [{"box": [0.0, 0.0, 1.0, 1.0],
+                 "confidence": 1.0,
+                 "class_name": "c",
+                 "similarity": float(images[i, 0, 0, 0]) / 255.0}
+                for i in range(images.shape[0])]
+
+
+def test_microbatcher_batches_concurrent_and_routes_results():
+    det = _CountingDetector()
+    mb = SV.MicroBatcher(det, max_batch=8, max_wait_ms=120)
+    canvases = [np.full((8, 8, 3), v, np.uint8) for v in (10, 20, 30, 40)]
+    results = [None] * 4
+
+    def call(i):
+        results[i] = mb.submit(canvases[i])
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    # Every caller got ITS image's result back, not a neighbour's.
+    for i, v in enumerate((10, 20, 30, 40)):
+        assert results[i]["similarity"] == pytest.approx(v / 255.0)
+    # Concurrency was actually batched (4 requests in <= 3 dispatches,
+    # at least one multi-image batch given the generous wait window).
+    assert sum(det.batches) >= 4
+    assert max(det.batches) >= 2, det.batches
+
+
+def test_microbatcher_pads_to_size_ladder():
+    det = _CountingDetector()
+    mb = SV.MicroBatcher(det, max_batch=16, max_wait_ms=50)
+    mb.submit(np.zeros((4, 4, 3), np.uint8))
+    assert det.batches == [1]  # ladder floor: solo request stays batch-1
+    assert mb.batch_sizes == [1]
+
+
+def test_microbatcher_propagates_errors():
+    class Boom:
+        def detect(self, images):
+            raise ValueError("bad batch")
+
+    mb = SV.MicroBatcher(Boom(), max_batch=4, max_wait_ms=5)
+    with pytest.raises(RuntimeError, match="bad batch"):
+        mb.submit(np.zeros((4, 4, 3), np.uint8))
+    # The worker survives a failing dispatch: next submit still errors
+    # cleanly instead of hanging.
+    with pytest.raises(RuntimeError, match="bad batch"):
+        mb.submit(np.zeros((4, 4, 3), np.uint8))
+
+
+def test_http_concurrent_requests_share_dispatches(detector):
+    """End-to-end: concurrent POSTs through serve_http run batched."""
+    counting = _CountingDetector()
+    srv = SV.serve_http(counting, host="127.0.0.1", port=0,
+                        serving_size=64, max_batch=8, batch_wait_ms=150)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        buf = io.BytesIO()
+        Image.fromarray(np.full((32, 32, 3), 99, np.uint8)).save(buf, "PNG")
+        data = buf.getvalue()
+        url = f"http://127.0.0.1:{srv.server_address[1]}/detect"
+        outs = [None] * 6
+
+        def post(i):
+            req = urllib.request.Request(url, data=data, method="POST")
+            with urllib.request.urlopen(req, timeout=60) as r:
+                outs[i] = json.loads(r.read())
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert all(o is not None and o["class_name"] == "c" for o in outs)
+        assert max(counting.batches) >= 2, counting.batches
+    finally:
+        srv.shutdown()
