@@ -289,7 +289,8 @@ def bench_capacity_10m(quick: bool) -> dict:
     """Single-chip capacity mode: 10M x 512 rows as int4 packed planes
     (2.5 GB) + bf16 rescore mirror (10 GB) — ~12.5 GB of a v5e's 16 GB
     HBM, 10x the 1M north-star scale. The f32 mirror alone would need
-    20 GB, so rescore runs against bf16 (~3e-4 score drift)."""
+    20 GB, so rescore runs against bf16 (~1e-2 score drift — the
+    tested bound in tests/test_int4_search.py)."""
     import jax
     import jax.numpy as jnp
 

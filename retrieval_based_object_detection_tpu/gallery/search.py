@@ -228,7 +228,8 @@ def int4_scan_topk(
     compensated integer scores — see ``ops/int4_scan.py``) →
     ``approx_max_k`` top-``rescore`` candidates → rescore against the
     full-precision mirror. Scores of returned hits are exact cosine
-    with an f32 mirror (bf16 mirror: ~3e-4 drift); the top-k SET is
+    with an f32 mirror (bf16 mirror: ~1e-2 drift — 8-bit mantissa rows;
+    tested bound in tests/test_int4_search.py); the top-k SET is
     approximate at the margin — hardware-measured top-10 agreement vs
     exact f32 @1M×512: 99.3% at rescore=256 (the 4-bit resolution
     floor; see ops/int4_scan.py). Use the int8 tier when exactness is

@@ -181,18 +181,25 @@ class MicroBatcher:
 
     def __init__(self, detector: RetrievalDetector, max_batch: int = 16,
                  max_wait_ms: float = 4.0):
+        import collections
         import queue
         import threading
 
         self.detector = detector
-        self.max_batch = max_batch
+        self.max_batch = max(1, max_batch)
         self.max_wait_s = max_wait_ms / 1000.0
-        self.sizes = [s for s in (1, 2, 4, 8, 16, 32, 64)
-                      if s <= max_batch] or [1]
+        # Size ladder always tops out at max_batch itself so any drained
+        # batch (≤ max_batch) finds a rung — arbitrary max_batch values
+        # (20, 3, 128…) must not strand the worker.
+        self.sizes = sorted({s for s in (1, 2, 4, 8, 16, 32, 64)
+                             if s < self.max_batch} | {self.max_batch})
         self._q: "queue.Queue[tuple]" = queue.Queue()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
-        self.batch_sizes: list[int] = []  # observability: actual batches
+        # Observability: recent dispatch sizes, bounded (a long-lived
+        # server must not grow an unbounded list).
+        self.batch_sizes: "collections.deque[int]" = collections.deque(
+            maxlen=1024)
 
     def submit(self, canvas: np.ndarray) -> dict:
         """Blocking: one [H, W, 3] canvas → its detection dict."""
@@ -201,7 +208,11 @@ class MicroBatcher:
         done = threading.Event()
         holder: dict = {}
         self._q.put((canvas, holder, done))
-        done.wait()
+        # Wake periodically to notice a dead worker instead of hanging
+        # the HTTP handler thread forever on a request nobody will fill.
+        while not done.wait(timeout=1.0):
+            if not self._thread.is_alive():
+                raise RuntimeError("micro-batch worker died")
         if "error" in holder:
             raise RuntimeError(holder["error"])
         return holder["result"]
@@ -232,6 +243,10 @@ class MicroBatcher:
                 canvases + [canvases[0]] * (padded - n))
             try:
                 results = self.detector.detect(batch)[:n]
+                if len(results) != n:
+                    raise RuntimeError(
+                        f"detector returned {len(results)} results for a "
+                        f"{n}-image batch")
                 self.batch_sizes.append(n)
                 for (_, holder, done), res in zip(items, results):
                     holder["result"] = res

@@ -202,7 +202,7 @@ def test_microbatcher_pads_to_size_ladder():
     mb = SV.MicroBatcher(det, max_batch=16, max_wait_ms=50)
     mb.submit(np.zeros((4, 4, 3), np.uint8))
     assert det.batches == [1]  # ladder floor: solo request stays batch-1
-    assert mb.batch_sizes == [1]
+    assert list(mb.batch_sizes) == [1]
 
 
 def test_microbatcher_propagates_errors():
@@ -219,7 +219,7 @@ def test_microbatcher_propagates_errors():
         mb.submit(np.zeros((4, 4, 3), np.uint8))
 
 
-def test_http_concurrent_requests_share_dispatches(detector):
+def test_http_concurrent_requests_share_dispatches():
     """End-to-end: concurrent POSTs through serve_http run batched."""
     counting = _CountingDetector()
     srv = SV.serve_http(counting, host="127.0.0.1", port=0,
@@ -248,3 +248,22 @@ def test_http_concurrent_requests_share_dispatches(detector):
         assert max(counting.batches) >= 2, counting.batches
     finally:
         srv.shutdown()
+
+
+def test_microbatcher_arbitrary_max_batch():
+    """max_batch values off the power-of-two ladder (20, 3) must not
+    strand the worker: the ladder tops out at max_batch itself."""
+    det = _CountingDetector()
+    mb = SV.MicroBatcher(det, max_batch=3, max_wait_ms=200)
+    results = [None] * 3
+
+    def call(i):
+        results[i] = mb.submit(np.full((4, 4, 3), i, np.uint8))
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert all(r is not None for r in results)
+    assert mb.sizes[-1] == 3 and sum(det.batches) >= 3
