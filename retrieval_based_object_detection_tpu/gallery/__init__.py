@@ -18,3 +18,6 @@ from retrieval_based_object_detection_tpu.gallery.store import (  # noqa: F401
     Record,
     VectorStore,
 )
+from retrieval_based_object_detection_tpu.gallery.capacity import (  # noqa: F401,E402
+    CapacitySearcher,
+)
