@@ -90,9 +90,10 @@ def bench_embed(batch_size: int = 192, iters: int = 60,
 def bench_gallery_query(n_vectors: int = 1 << 20, dim: int = 512,
                         k: int = 10, q_batch: int = 16,
                         inner: int = 160, iters: int = 7,
-                        rt_s: float = 0.0) -> tuple[float, float]:
+                        rt_s: float = 0.0) -> tuple[float, float, float]:
     """On-device p50 latency (ms) of a top-k query batch over an HBM
-    gallery (the store's int8 serving tier) → (int8_ms, xla_bf16_ms).
+    gallery (the store's quantised serving tiers)
+    → (int8_ms, int4_ms, xla_bf16_ms).
 
     ``inner`` batches run per dispatch and the measured fixed dispatch
     round trip (``rt_s``) is subtracted, so the number is DEVICE time

@@ -79,9 +79,15 @@ def _request(method: str, url: str, body: dict | None = None,
         raise GalleryServiceError(e.code, msg) from e
     except (urllib.error.URLError, ConnectionError) as e:
         # A pre-binary server dies mid-request on the frame (handler
-        # UnicodeDecodeError) without having acted on it — safe to retry
-        # as JSON. A genuinely unreachable server fails the retry too.
-        if array is not None:
+        # UnicodeDecodeError) → the connection is RESET without the
+        # request having been acted on — safe to retry as JSON. Only
+        # that class of failure retries: a timeout or DNS error on a
+        # live binary-capable server must surface, not silently resend
+        # a possibly-applied bulk write as a 20× JSON body.
+        reason = getattr(e, "reason", e)
+        reset = (isinstance(e, ConnectionError)
+                 or isinstance(reason, ConnectionError))
+        if array is not None and reset:
             return _json_retry()
         raise
 

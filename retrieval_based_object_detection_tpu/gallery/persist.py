@@ -152,7 +152,10 @@ def list_snapshots(root: str | Path) -> list[tuple[str, int]]:
         try:
             rows, _, _ = native.snapshot_header(p)
             out.append((p.stem, rows))
-        except OSError:
+        except Exception:
+            # One corrupt/truncated file (OSError from the native lib,
+            # struct.error from the pure-Python fallback) must not hide
+            # every healthy snapshot from the listing.
             continue
     for p in sorted(root.glob("*.json")):  # legacy layout
         if p.name == "manifest.json" or (root / f"{p.stem}.rbod").exists():

@@ -61,6 +61,25 @@ def build_sharded(
     return vs, ms
 
 
+def _gather_merge(scores: jax.Array, idx: jax.Array, rows_per: int,
+                  k: int) -> tuple[jax.Array, jax.Array]:
+    """Shared shard-merge (inside shard_map): globalise this shard's
+    [Q, k] candidate indices, ``all_gather`` every shard's candidates
+    (the only collective), and take the final top-k — O(shards × k)
+    traffic, ties broken by shard order. One implementation for every
+    tier so tie-breaking/merge fixes cannot diverge."""
+    shard_id = jax.lax.axis_index(AXIS)
+    gidx = idx + shard_id * rows_per
+    all_scores = jax.lax.all_gather(scores, AXIS)  # [S, Q, k]
+    all_idx = jax.lax.all_gather(gidx, AXIS)
+    s, q_n = all_scores.shape[0], scores.shape[0]
+    flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(q_n, s * k)
+    flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(q_n, s * k)
+    best_s, pos = jax.lax.top_k(flat_s, k)
+    best_i = jnp.take_along_axis(flat_i, pos, axis=1)
+    return best_s, best_i
+
+
 @partial(jax.jit, static_argnames=("k", "mesh", "exact"))
 def sharded_topk(
     queries: jax.Array,   # [Q, D] replicated
@@ -73,21 +92,10 @@ def sharded_topk(
     """Distributed masked cosine top-k → (scores [Q, k], global row idx)."""
 
     def local(q, g, m):
-        # One shard's rows: [R, D]; local masked top-k.
-        shard_id = jax.lax.axis_index(AXIS)
-        rows_per = g.shape[0]
+        # One shard's rows: [R, D]; local masked top-k, then merge.
         scores, idx = search_lib.masked_cosine_topk(
             q, g, m, k=k, exact=exact, gallery_normalized=True)
-        gidx = idx + shard_id * rows_per
-        # Merge candidates across shards: all_gather is the only collective.
-        all_scores = jax.lax.all_gather(scores, AXIS)  # [S, Q, k]
-        all_idx = jax.lax.all_gather(gidx, AXIS)
-        S = all_scores.shape[0]
-        flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(q.shape[0], S * k)
-        flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(q.shape[0], S * k)
-        best_s, pos = jax.lax.top_k(flat_s, k)
-        best_i = jnp.take_along_axis(flat_i, pos, axis=1)
-        return best_s, best_i
+        return _gather_merge(scores, idx, g.shape[0], k)
 
     from jax import shard_map
 
@@ -119,22 +127,10 @@ def sharded_int8_topk(
     top of the single-chip 0.79 ms @1M (DESIGN.md)."""
 
     def local(q, gt, gf, m):
-        shard_id = jax.lax.axis_index(AXIS)
-        rows_per = gf.shape[0]
         scores, idx = search_lib.int8_scan_topk(
             q, gt, gf, m, k=k, rescore=rescore,
             interpret=interpret)
-        gidx = idx + shard_id * rows_per
-        all_scores = jax.lax.all_gather(scores, AXIS)  # [S, Q, k]
-        all_idx = jax.lax.all_gather(gidx, AXIS)
-        S = all_scores.shape[0]
-        flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(q.shape[0],
-                                                              S * k)
-        flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(q.shape[0],
-                                                           S * k)
-        best_s, pos = jax.lax.top_k(flat_s, k)
-        best_i = jnp.take_along_axis(flat_i, pos, axis=1)
-        return best_s, best_i
+        return _gather_merge(scores, idx, gf.shape[0], k)
 
     from jax import shard_map
 
@@ -165,21 +161,9 @@ def sharded_int4_topk(
     the int8 tier's sibling at half the per-chip HBM read volume."""
 
     def local(q, p, s, gf, m):
-        shard_id = jax.lax.axis_index(AXIS)
-        rows_per = gf.shape[0]
         scores, idx = search_lib.int4_scan_topk(
             q, p, s, gf, m, k=k, rescore=rescore, interpret=interpret)
-        gidx = idx + shard_id * rows_per
-        all_scores = jax.lax.all_gather(scores, AXIS)  # [S, Q, k]
-        all_idx = jax.lax.all_gather(gidx, AXIS)
-        S = all_scores.shape[0]
-        flat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(q.shape[0],
-                                                              S * k)
-        flat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(q.shape[0],
-                                                           S * k)
-        best_s, pos = jax.lax.top_k(flat_s, k)
-        best_i = jnp.take_along_axis(flat_i, pos, axis=1)
-        return best_s, best_i
+        return _gather_merge(scores, idx, gf.shape[0], k)
 
     from jax import shard_map
 

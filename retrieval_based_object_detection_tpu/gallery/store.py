@@ -387,12 +387,18 @@ class Gallery:
             self._dirty_lo = self._dirty_hi = 0
         if bf16 and self._dev_bf16 is None:
             self._dev_bf16 = _cast_bf16(self._dev_f32)
-        # Incremental patch of whatever changed since the mirrors were built.
-        lo = min(self._dirty_lo if self._dirty_hi > self._dirty_lo else n,
-                 self._synced)
-        hi = max(self._dirty_hi, n)
-        if lo < hi:
-            self._patch_mirrors(lo, hi)
+        # Incremental patch of whatever changed since the mirrors were
+        # built: the dirty overwrite range and/or the appended tail —
+        # NOT unconditionally to n (that turned a one-row overwrite into
+        # a full-gallery re-push; regression-tested).
+        ranges = []
+        if self._dirty_hi > self._dirty_lo:
+            ranges.append((self._dirty_lo, self._dirty_hi))
+        if n > self._synced:
+            ranges.append((self._synced, n))
+        if ranges:
+            self._patch_mirrors(min(r[0] for r in ranges),
+                                max(r[1] for r in ranges))
         self._synced = n
         self._dirty_lo = self._dirty_hi = 0
 

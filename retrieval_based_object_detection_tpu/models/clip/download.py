@@ -12,11 +12,12 @@ handled).
 
 from __future__ import annotations
 
-import hashlib
-import sys
-import urllib.error
-import urllib.request
 from pathlib import Path
+
+from retrieval_based_object_detection_tpu.utils.download import (
+    DownloadError,
+    fetch_with_cache,
+)
 
 # Official release URLs — the sha256 is the first path component, as in
 # openai/CLIP's clip/clip.py _MODELS table. ViT-B/32 is the one the
@@ -57,35 +58,15 @@ def ensure_checkpoint(variant: str = "ViT-B/32",
         raise KeyError(f"unknown CLIP variant {variant!r}; "
                        f"expected one of {sorted(CLIP_CHECKPOINT_URLS)}")
     dest = checkpoint_path(variant, cache_dir)
-    if dest.exists():
-        return dest
     url = CLIP_CHECKPOINT_URLS[variant]
-    expected_sha = url.split("/")[-2]
-    dest.parent.mkdir(parents=True, exist_ok=True)
-    part = dest.with_suffix(dest.suffix + ".part")
-    if not quiet:
-        print(f"[rbod] downloading CLIP {variant} from {url} -> {dest}",
-              file=sys.stderr)
     try:
-        digest = hashlib.sha256()
-        with urllib.request.urlopen(url, timeout=30) as resp, \
-                open(part, "wb") as f:
-            while True:
-                chunk = resp.read(1 << 20)
-                if not chunk:
-                    break
-                f.write(chunk)
-                digest.update(chunk)
-        if digest.hexdigest() != expected_sha:
-            part.unlink(missing_ok=True)
-            raise CheckpointUnavailable(
-                f"downloaded {variant} checkpoint failed SHA256 "
-                f"verification (got {digest.hexdigest()}, expected "
-                f"{expected_sha}) — refusing to cache it")
-        part.rename(dest)
-        return dest
-    except (urllib.error.URLError, OSError, TimeoutError) as e:
-        part.unlink(missing_ok=True)
+        # The sha256 is the URL's second-to-last path component (the
+        # openai/CLIP release convention) — verified before caching.
+        return fetch_with_cache(url, dest,
+                                expected_sha256=url.split("/")[-2],
+                                quiet=quiet,
+                                label=f"CLIP {variant} checkpoint")
+    except DownloadError as e:
         raise CheckpointUnavailable(
             f"CLIP {variant} checkpoint is not cached at {dest} and the "
             f"download from {url} failed ({e}). Either place the official "

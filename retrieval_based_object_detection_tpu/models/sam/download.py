@@ -11,10 +11,12 @@ actionable error instead of a stack trace.
 
 from __future__ import annotations
 
-import sys
-import urllib.error
-import urllib.request
 from pathlib import Path
+
+from retrieval_based_object_detection_tpu.utils.download import (
+    DownloadError,
+    fetch_with_cache,
+)
 
 # Official checkpoint URLs (22_segment_image_auto.py:24-31).
 SAM_CHECKPOINT_URLS: dict[str, str] = {
@@ -50,35 +52,13 @@ def ensure_checkpoint(variant: str = "vit_b",
             f"unknown SAM variant {variant!r}; "
             f"expected one of {sorted(SAM_CHECKPOINT_URLS)}")
     dest = checkpoint_path(variant, cache_dir)
-    if dest.exists():
-        return dest
     url = SAM_CHECKPOINT_URLS[variant]
-    dest.parent.mkdir(parents=True, exist_ok=True)
-    part = dest.with_suffix(dest.suffix + ".part")
-    if not quiet:
-        print(f"[rbod] downloading SAM {variant} checkpoint from {url} "
-              f"-> {dest}", file=sys.stderr)
+    # The official release URLs carry no digest to pin (unlike CLIP's,
+    # whose sha256 is embedded in the URL path).
     try:
-        with urllib.request.urlopen(url, timeout=30) as resp, \
-                open(part, "wb") as f:
-            total = int(resp.headers.get("Content-Length") or 0)
-            done = 0
-            while True:
-                chunk = resp.read(1 << 20)
-                if not chunk:
-                    break
-                f.write(chunk)
-                done += len(chunk)
-                if not quiet and total:
-                    pct = 100 * done / total
-                    print(f"\r[rbod]   {done >> 20} MiB / {total >> 20} MiB"
-                          f" ({pct:.0f}%)", end="", file=sys.stderr)
-        if not quiet:
-            print(file=sys.stderr)
-        part.rename(dest)
-        return dest
-    except (urllib.error.URLError, OSError, TimeoutError) as e:
-        part.unlink(missing_ok=True)
+        return fetch_with_cache(url, dest, quiet=quiet,
+                                label=f"SAM {variant} checkpoint")
+    except DownloadError as e:
         raise CheckpointUnavailable(
             f"SAM {variant} checkpoint is not cached at {dest} and the "
             f"download from {url} failed ({e}). Either place the official "

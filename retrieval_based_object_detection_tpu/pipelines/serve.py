@@ -236,12 +236,15 @@ class MicroBatcher:
     def _worker(self) -> None:
         while True:
             items = self._drain()
-            canvases = [c for c, _, _ in items]
-            n = len(canvases)
-            padded = next(s for s in self.sizes if s >= n)
-            batch = np.stack(
-                canvases + [canvases[0]] * (padded - n))
+            n = len(items)
+            # EVERYTHING after the drain is inside the try: a stacking
+            # error (mixed canvas shapes reach the public submit()) must
+            # fail these requests, never kill the worker loop.
             try:
+                canvases = [c for c, _, _ in items]
+                padded = next(s for s in self.sizes if s >= n)
+                batch = np.stack(
+                    canvases + [canvases[0]] * (padded - n))
                 results = self.detector.detect(batch)[:n]
                 if len(results) != n:
                     raise RuntimeError(

@@ -104,6 +104,11 @@ def parallel_map(fn: Callable[[T], U], items: list[T],
             _decode_pool = ThreadPoolExecutor(
                 max_workers=n, thread_name_prefix="rbod-decode")
             if old is not None:
+                # Already-submitted work keeps running; new submissions
+                # go to the grown pool.
                 old.shutdown(wait=False)
-        pool = _decode_pool
-    return list(pool.map(fn, items))
+        # Submit INSIDE the lock (Executor.map schedules eagerly): a
+        # concurrent grower can then never shut this pool down between
+        # our read of the reference and our submission.
+        results = _decode_pool.map(fn, items)
+    return list(results)

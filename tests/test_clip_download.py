@@ -18,7 +18,9 @@ def test_offline_raises_actionable_error(tmp_path, monkeypatch):
     def boom(*a, **kw):
         raise OSError("no network")
 
-    monkeypatch.setattr(dl.urllib.request, "urlopen", boom)
+    from retrieval_based_object_detection_tpu.utils import download as dlh
+
+    monkeypatch.setattr(dlh.urllib.request, "urlopen", boom)
     with pytest.raises(dl.CheckpointUnavailable) as ei:
         dl.ensure_checkpoint("ViT-B/32", tmp_path, quiet=True)
     assert "--clip-checkpoint" in str(ei.value)
@@ -29,13 +31,17 @@ def test_sha_mismatch_rejected(tmp_path, monkeypatch):
     import io
 
     class FakeResp(io.BytesIO):
+        headers = {}  # the shared helper reads Content-Length via .get
+
         def __enter__(self):
             return self
 
         def __exit__(self, *a):
             return False
 
-    monkeypatch.setattr(dl.urllib.request, "urlopen",
+    from retrieval_based_object_detection_tpu.utils import download as dlh
+
+    monkeypatch.setattr(dlh.urllib.request, "urlopen",
                         lambda *a, **kw: FakeResp(b"not the real weights"))
     with pytest.raises(dl.CheckpointUnavailable) as ei:
         dl.ensure_checkpoint("ViT-B/32", tmp_path, quiet=True)

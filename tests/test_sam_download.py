@@ -16,7 +16,9 @@ def test_offline_raises_actionable_error(tmp_path, monkeypatch):
     def boom(*a, **kw):
         raise OSError("no network")
 
-    monkeypatch.setattr(dl.urllib.request, "urlopen", boom)
+    from retrieval_based_object_detection_tpu.utils import download as dlh
+
+    monkeypatch.setattr(dlh.urllib.request, "urlopen", boom)
     with pytest.raises(dl.CheckpointUnavailable) as ei:
         dl.ensure_checkpoint("vit_b", tmp_path, quiet=True)
     msg = str(ei.value)

@@ -181,3 +181,29 @@ def test_search_method_int8_on_cpu_small(rng):
     exact = _top_ids(g, q, k=5, method="exact")
     i8 = _top_ids(g, q, k=5, method="int8")
     assert exact == i8  # rescore recovers exact top-k on random data
+
+
+def test_overwrite_patches_only_dirty_range(rng):
+    """A one-row overwrite after mirrors are synced must patch the dirty
+    chunk only — not re-push the whole gallery (the round-2 regression:
+    hi extended to n unconditionally)."""
+    g = Gallery("t", dim=16)
+    n = 2000
+    vecs = rng.normal(size=(n, 16)).astype(np.float32)
+    g.upsert([f"id{i}" for i in range(n)], vecs,
+             [Payload(data_type="original_images", class_name="c",
+                      img_path=f"/{i}.png") for i in range(n)])
+    probe = rng.normal(size=(16,)).astype(np.float32)
+    g.search(probe, k=1)  # build + sync mirrors
+
+    patched = []
+    orig = g._patch_mirrors
+    g._patch_mirrors = lambda lo, hi: (patched.append((lo, hi)),
+                                       orig(lo, hi))[1]
+    new0 = rng.normal(size=(1, 16)).astype(np.float32)
+    g.upsert(["id0"], new0,
+             [Payload(data_type="original_images", class_name="c",
+                      img_path="/0.png")])
+    hits = g.search(new0[0], k=1)[0]
+    assert hits[0].id == "id0"
+    assert patched == [(0, 1)], patched  # one dirty row, not (0, 2000)
