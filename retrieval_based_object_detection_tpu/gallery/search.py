@@ -182,7 +182,7 @@ def int8_scan_topk(
     r_eff = min(rescore, N)
     cand_s, cand_i = jax.lax.approx_max_k(scores, k=r_eff)
     rows = jnp.take(gallery_f32, cand_i, axis=0)  # [Q, r, D]
-    exact = jnp.einsum("qd,qrd->qr", qn, rows,
+    exact = jnp.einsum("qd,qrd->qr", qn.astype(rows.dtype), rows,
                        preferred_element_type=jnp.float32)
     exact = jnp.where(cand_s > NEG_INF / 2, exact, NEG_INF)
     best_s, pos = jax.lax.top_k(exact, k)

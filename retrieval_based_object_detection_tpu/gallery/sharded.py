@@ -185,13 +185,24 @@ class ShardedGallerySearcher:
     device-side after being sharded alongside the rows).
     """
 
-    def __init__(self, vectors: np.ndarray, mask: np.ndarray, mesh: Mesh):
+    def __init__(self, vectors: np.ndarray, mask: np.ndarray, mesh: Mesh,
+                 capacity: bool = False):
         self.mesh = mesh
         self.n_rows = vectors.shape[0]
+        self.capacity = capacity
         self.dev_vectors, self.dev_mask = build_sharded(vectors, mask, mesh)
         self._dev_int8: jax.Array | None = None  # int8 scan mirror
         # int4 tier: (packed [S*R, D/2] int8, scales [S*R] f32), sharded
         self._dev_int4: tuple[jax.Array, jax.Array] | None = None
+        if capacity:
+            # Pod-scale capacity mode (the single-chip CapacitySearcher's
+            # sharded sibling): pack the int4 planes off the f32 rows,
+            # then keep only a bf16 rescore mirror per shard — ~2.5 vs
+            # 4.5 bytes/dim resident per chip. Quantised tiers only;
+            # rescored hit scores carry bf16's ~1e-2 drift.
+            self._build_int4()
+            self.dev_vectors = jax.jit(
+                lambda a: a.astype(jnp.bfloat16))(self.dev_vectors)
 
     def _build_int8(self) -> None:
         """Per-shard int8 mirror (lazy): quantised on-device from the
@@ -226,7 +237,13 @@ class ShardedGallerySearcher:
         bool ANDed with the build-time mask device-side (sharded
         alongside the rows) for per-query filters."""
         if method is None:
-            method = "exact" if exact else "bf16"
+            method = ("int4" if self.capacity
+                      else "exact" if exact else "bf16")
+        if self.capacity and method == "exact":
+            raise ValueError(
+                "capacity mode keeps only a bf16 rescore mirror — "
+                "method='exact' (f32 HIGHEST) is unavailable; use "
+                "'int4'/'int8'/'bf16' or build without capacity=True")
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None]

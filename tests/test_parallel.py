@@ -172,3 +172,31 @@ def test_sharded_int4_matches_exact(rng):
     i4_s, i4_i = s.search(q, k=5, method="int4")
     np.testing.assert_allclose(i4_s, ex_s, atol=1e-5)
     assert (i4_i == ex_i).mean() > 0.9  # ties may permute
+
+
+def test_sharded_capacity_mode(rng):
+    """Pod-scale capacity mode: bf16 per-shard rescore mirror + int4
+    planes; auto-routes to int4, matches the full-precision sharded
+    searcher's top-k within bf16 drift, and refuses method='exact'."""
+    import jax
+    import pytest
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("gallery",))
+    n, d = 700, 64
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    mask = np.ones(n, bool)
+    q = rng.normal(size=(3, d)).astype(np.float32)
+
+    full = ShardedGallerySearcher(vectors, mask, mesh)
+    cap = ShardedGallerySearcher(vectors, mask, mesh, capacity=True)
+    assert cap.dev_vectors.dtype == jnp.bfloat16
+    ex_s, ex_i = full.search(q, k=5, method="exact")
+    c_s, c_i = cap.search(q, k=5)  # auto int4
+    assert (c_i == ex_i).mean() > 0.85  # int4 margin + bf16 ties
+    np.testing.assert_allclose(c_s, ex_s, atol=2e-2)
+    with pytest.raises(ValueError, match="capacity mode"):
+        cap.search(q, k=5, method="exact")
+    # int8 tier also runs off the bf16 mirror.
+    i8_s, i8_i = cap.search(q, k=5, method="int8")
+    assert (i8_i == ex_i).mean() > 0.85
