@@ -58,7 +58,8 @@ class CapacitySearcher:
     single-chip many-rows regime."""
 
     def __init__(self, vectors: np.ndarray, mask: np.ndarray,
-                 chunk: int = _CHUNK):
+                 chunk: int = _CHUNK,
+                 ids: list[str] | None = None):
         n, d = vectors.shape
         if d % 2:
             raise ValueError("capacity mode packs two dims per byte — "
@@ -86,6 +87,7 @@ class CapacitySearcher:
         mbuf = np.zeros(self._padded, bool)
         mbuf[:n] = mask
         self.dev_mask = jnp.asarray(mbuf)
+        self.ids = ids  # optional row -> point-id mapping (from_gallery)
 
     @classmethod
     def from_gallery(cls, gallery, flt=None, chunk: int = _CHUNK
@@ -96,7 +98,19 @@ class CapacitySearcher:
         n = len(gallery)
         mask = (np.ones(n, bool) if flt is None
                 else gallery._payloads.mask(flt))
-        return cls(gallery._vectors[:n], mask, chunk=chunk)
+        return cls(gallery._vectors[:n], mask, chunk=chunk,
+                   ids=list(gallery._ids))
+
+    def ids_of(self, idx: np.ndarray) -> list:
+        """Translate ``search`` row indices to point ids (requires a
+        view built via ``from_gallery`` or with ``ids=``). Shape is
+        preserved as nested lists."""
+        if self.ids is None:
+            raise ValueError("this view was built from raw vectors — "
+                             "construct with ids= or from_gallery for "
+                             "id translation")
+        return [[self.ids[int(i)] for i in row] for row in
+                np.atleast_2d(idx)]
 
     def search(self, queries: np.ndarray, k: int = 10,
                rescore: int = 256,

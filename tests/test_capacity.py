@@ -93,3 +93,19 @@ def test_rejects_odd_dim_and_noncosine(rng):
     g = Gallery("d", dim=DIM, distance="dot")
     with pytest.raises(ValueError, match="cosine"):
         CapacitySearcher.from_gallery(g)
+
+
+def test_ids_of(rng):
+    g = Gallery("t", dim=DIM)
+    vecs = _vectors(rng, 50)
+    g.upsert([f"pt{i}" for i in range(50)], vecs,
+             [Payload(data_type="original_images", class_name="c",
+                      img_path=f"/{i}.png") for i in range(50)])
+    s = CapacitySearcher.from_gallery(g, chunk=256)
+    _, idx = s.search(vecs[7], k=1)
+    assert s.ids_of(idx) == [["pt7"]]
+    raw = CapacitySearcher(vecs, np.ones(50, bool), chunk=256)
+    import pytest
+
+    with pytest.raises(ValueError, match="ids"):
+        raw.ids_of(idx)
