@@ -551,6 +551,34 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_bench(args) -> int:
+    """Run the benchmark suite in-process (source checkouts only — the
+    suite lives beside the package, not inside it)."""
+    import runpy
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    suite = _Path(__file__).resolve().parents[2] / "benchmarks" / "suite.py"
+    if not suite.exists():
+        print("benchmarks/suite.py not found — `rbod bench` needs a "
+              "source checkout", file=_sys.stderr)
+        return 1
+    argv = [str(suite)]
+    if args.quick:
+        argv.append("--quick")
+    if args.json:
+        argv += ["--json", args.json]
+    if args.only:
+        argv += ["--only", *args.only]
+    old = _sys.argv
+    _sys.argv = argv
+    try:
+        runpy.run_path(str(suite), run_name="__main__")
+    finally:
+        _sys.argv = old
+    return 0
+
+
 def cmd_e2e(args) -> int:
     """One-shot pipeline: [ingest →] label → crop → segment → augment →
     embed → delegates → experiments → analyze on a raw
@@ -1065,6 +1093,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     add("wizard", cmd_wizard,
         help="interactive stage picker (the reference's prompt-driven UX)")
+
+    sp = add("bench", cmd_bench,
+             help="run the benchmark suite (benchmarks/suite.py)")
+    sp.add_argument("--quick", action="store_true")
+    sp.add_argument("--json", default=None)
+    sp.add_argument("--only", nargs="*", default=None)
 
     sp = add("analyze", cmd_analyze, help="analysis + plots (41)")
     sp.add_argument("--csv", default=None)
