@@ -110,6 +110,8 @@ class Gallery:
         self._dirty_hi = 0
         # Device filter masks keyed by canonical filter; cleared on writes.
         self._mask_cache: dict[Any, jax.Array] = {}
+        # Resolved-path fallback index for get_by_path (lazy).
+        self._resolved_paths: dict[str, int] | None = None
 
     # ------------------------------------------------------------ size
     def __len__(self) -> int:
@@ -242,8 +244,16 @@ class Gallery:
 
     def get_by_path(self, img_path: str, with_vectors: bool = True
                     ) -> Record | None:
-        """O(1) lookup by exact img_path (33_run_all_experiments.py:96-110)."""
+        """O(1) lookup by exact img_path (33_run_all_experiments.py:96-110).
+
+        Falls back to RESOLVED-path matching on an exact miss: the embed
+        run and the experiment run may spell the same file differently
+        (absolute vs relative, ``./`` prefix, different CWD) — point IDs
+        already resolve (utils.ids), so the path index must too or every
+        lookup silently misses and the result CSV comes out empty."""
         row = self._payloads.row_by_path(img_path)
+        if row is None:
+            row = self._resolved_row(img_path)
         if row is None:
             return None
         return Record(
@@ -251,6 +261,25 @@ class Gallery:
             payload=self._payloads.get_row(row),
             vector=self._vectors[row].copy() if with_vectors else None,
         )
+
+    def _resolved_row(self, img_path: str) -> int | None:
+        """Resolved-path fallback index (lazy; invalidated on writes)."""
+        from pathlib import Path
+
+        if self._resolved_paths is None:
+            idx: dict[str, int] = {}
+            for r in range(len(self._ids)):
+                p = self._payloads.get_row(r).img_path
+                if p:
+                    try:
+                        idx.setdefault(str(Path(p).resolve()), r)
+                    except OSError:
+                        continue
+            self._resolved_paths = idx
+        try:
+            return self._resolved_paths.get(str(Path(img_path).resolve()))
+        except OSError:
+            return None
 
     def scroll(
         self,
@@ -329,6 +358,7 @@ class Gallery:
     _SYNC_CHUNK = 4096  # rows per incremental device update
 
     def _invalidate_mirrors(self) -> None:
+        self._resolved_paths = None
         self._padded = 0
         self._dev_f32 = self._dev_bf16 = self._dev_int8 = None
         self._dev_int4 = None
@@ -339,6 +369,7 @@ class Gallery:
     def _mark_dirty(self, lo: int, hi: int) -> None:
         """Record a host-row write; mirrors patch the range at next sync."""
         self._mask_cache.clear()
+        self._resolved_paths = None
         if self._dirty_hi > self._dirty_lo:
             self._dirty_lo = min(self._dirty_lo, lo)
             self._dirty_hi = max(self._dirty_hi, hi)

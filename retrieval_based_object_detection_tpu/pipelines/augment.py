@@ -2,9 +2,12 @@
 
 Grid (23_augmentation.py:10-13): 6 brightness rates, 11 rotations with
 expanded transparent canvas, 3 noise types × 3 levels. Filename postfixes
-follow the reference scheme (23:66-73, 86-112):
+follow the reference scheme BYTE-FOR-BYTE (23:66-73, 86-112) — including
+its ``int()`` float truncation, so rates 1.2/0.9/0.8 yield p19/n9/n19,
+NOT p20/n10/n20 (``int((1.2-1)*100) == 19``; keeping the quirk keeps the
+trees interchangeable with reference-produced artifacts):
 
-  <stem>_brightness_{p20,p10,p5,n5,n10,n20}<ext>
+  <stem>_brightness_{p19,p10,p5,n5,n9,n19}<ext>
   <stem>_rot{30..330}<ext>
   <stem>_{gaussian,blur,snp}noise_{1,2,3}<ext>
 
@@ -52,18 +55,30 @@ def postfix_num(val) -> str:
     return sval
 
 
+def _brightness_suffix(rate: float) -> str:
+    # int() truncation kept deliberately (reference 23:86): 1.2 → p19.
+    delta = int((rate - 1) * 100)
+    return f"brightness_{postfix_num(f'{delta:+d}')}"
+
+
+def _rotation_suffix(angle: int) -> str:
+    return f"rot{postfix_num(angle)}"
+
+
+def _noise_suffix(ntype: str, level: float) -> str:
+    return f"{ntype}noise_{postfix_num(int(level * 100))}"
+
+
 def variant_names(stem: str, ext: str, cfg: AugmentConfig) -> list[str]:
-    """The full expected output filename list for one input image."""
-    names = []
-    for rate in cfg.brightness_rates:
-        delta = int((rate - 1) * 100)
-        names.append(f"{stem}_brightness_{postfix_num(f'{delta:+d}')}{ext}")
-    for angle in cfg.rotation_angles:
-        names.append(f"{stem}_rot{postfix_num(angle)}{ext}")
-    for ntype in cfg.noise_types:
-        for level in cfg.noise_levels:
-            names.append(
-                f"{stem}_{ntype}noise_{postfix_num(int(level * 100))}{ext}")
+    """The full expected output filename list for one input image —
+    derived from the SAME suffix helpers ``augment_array`` uses, so the
+    expected list can never drift from the files actually written."""
+    names = [f"{stem}_{_brightness_suffix(r)}{ext}"
+             for r in cfg.brightness_rates]
+    names += [f"{stem}_{_rotation_suffix(a)}{ext}"
+              for a in cfg.rotation_angles]
+    names += [f"{stem}_{_noise_suffix(t, lv)}{ext}"
+              for t in cfg.noise_types for lv in cfg.noise_levels]
     return names
 
 
@@ -79,21 +94,19 @@ def augment_array(img: np.ndarray, cfg: AugmentConfig,
     out: list[tuple[str, np.ndarray]] = []
 
     for rate in cfg.brightness_rates:
-        delta = int((rate - 1) * 100)
         arr = np.asarray(I.brightness(x, rate), np.uint8)
-        out.append((f"brightness_{postfix_num(f'{delta:+d}')}", arr))
+        out.append((_brightness_suffix(rate), arr))
 
     for angle in cfg.rotation_angles:
         arr = np.asarray(
             I.rotate_expand(x, float(angle)), np.float32
         ).clip(0, 255).astype(np.uint8)
-        out.append((f"rot{postfix_num(angle)}", arr))
+        out.append((_rotation_suffix(angle), arr))
 
     keys = jax.random.split(key, len(cfg.noise_types) * len(cfg.noise_levels))
     ki = 0
     for ntype in cfg.noise_types:
         for level in cfg.noise_levels:
-            pf = postfix_num(int(level * 100))
             if ntype == "gaussian":
                 arr = I.gaussian_noise(x, level, keys[ki])
             elif ntype == "blur":
@@ -104,7 +117,7 @@ def augment_array(img: np.ndarray, cfg: AugmentConfig,
                 ki += 1
                 continue
             ki += 1
-            out.append((f"{ntype}noise_{pf}",
+            out.append((_noise_suffix(ntype, level),
                         np.asarray(arr, np.float32).clip(0, 255).astype(np.uint8)))
     return out
 

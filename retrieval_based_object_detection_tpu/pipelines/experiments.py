@@ -132,19 +132,36 @@ def run_experiments(
     # from the gallery — exactly the reference's split (33:89-110).
     classes = tree.list_classes(cfg.root_dir, "natural")
 
-    for case in cfg.cases:
-        # Gather test vectors once per case (payload lookup is O(1)/path).
-        test_vecs: list[np.ndarray] = []
-        test_meta: list[tuple[str, str, str]] = []  # (path, class, data_type)
-        for cls in classes:
-            for img in tree.list_images(cfg.root_dir, "natural", cls,
-                                        cfg.test_suffixes):
-                rec = gallery.get_by_path(str(img))
-                if rec is None or rec.payload.is_delegate:
-                    continue
-                test_vecs.append(rec.vector)
-                test_meta.append((str(img), cls, rec.payload.data_type))
+    # Gather test vectors ONCE (the lookup does not depend on the case;
+    # the per-case bookkeeping below still runs per case). Exact-path
+    # lookups fall back to resolved paths in the store; files with no
+    # stored vector are counted and surfaced, never silently dropped.
+    test_vecs: list[np.ndarray] = []
+    test_meta: list[tuple[str, str, str]] = []  # (path, class, data_type)
+    n_unembedded = 0
+    for cls in classes:
+        for img in tree.list_images(cfg.root_dir, "natural", cls,
+                                    cfg.test_suffixes):
+            rec = gallery.get_by_path(str(img))
+            if rec is None:
+                n_unembedded += 1
+                continue
+            if rec.payload.is_delegate:
+                continue
+            test_vecs.append(rec.vector)
+            test_meta.append((str(img), cls, rec.payload.data_type))
+    if n_unembedded:
+        print(f"[experiments] WARNING: {n_unembedded} test image(s) have "
+              f"no stored vector in collection {gallery.name!r} — run the "
+              f"embed stage over the same tree first")
+    if not test_vecs and n_unembedded:
+        raise ValueError(
+            f"none of the {n_unembedded} test images under "
+            f"{cfg.root_dir}/natural_images have vectors in "
+            f"{gallery.name!r} — the embed and experiment runs must "
+            f"target the same collection and tree")
 
+    for case in cfg.cases:
         if not test_vecs:
             continue
         tests = np.stack(test_vecs)

@@ -62,6 +62,10 @@ class IngestResult:
     n_skipped_existing: int
     n_skipped_duplicate: int
     n_failed: int
+    # Two sources mapping to the same <stem>.jpeg this run (e.g. both
+    # IMG_1.png and IMG_1.heic) — the loser is reported here, not
+    # miscounted as already-converted.
+    n_name_collisions: int = 0
 
 
 def convert_one(src: Path, dst: Path, quality: int = 95) -> bool:
@@ -81,24 +85,36 @@ def convert_one(src: Path, dst: Path, quality: int = 95) -> bool:
 
 
 def run_ingest(cfg: IngestConfig) -> IngestResult:
-    n_conv = n_exist = n_dup = n_fail = 0
+    n_conv = n_exist = n_dup = n_fail = n_coll = 0
     classes = (cfg.classes if cfg.classes is not None
                else tree.list_classes(cfg.src_root, cfg.img_type))
     for cls in classes:
         dst_dir = tree.type_dir(cfg.dst_root, cfg.img_type) / cls
         dst_dir.mkdir(parents=True, exist_ok=True)
+        written: dict[Path, Path] = {}  # dst -> src converted THIS run
         for src in tree.list_images(cfg.src_root, cfg.img_type, cls,
                                     cfg.suffixes):
             if is_duplicate_name(src.name):
                 n_dup += 1
                 continue
             dst = dst_dir / f"{src.stem}.jpeg"
+            if dst in written:
+                # Same stem, different suffix (possible since the suffix
+                # list widened past the reference's .HEIC) — the second
+                # source would silently vanish behind the idempotency
+                # check; surface it instead.
+                print(f"[ingest] WARNING: {src.name} collides with "
+                      f"{written[dst].name} on {dst.name} — skipped")
+                n_coll += 1
+                continue
             if dst.exists():
                 n_exist += 1
                 continue
             if convert_one(src, dst, cfg.quality):
+                written[dst] = src
                 n_conv += 1
             else:
                 n_fail += 1
     return IngestResult(n_converted=n_conv, n_skipped_existing=n_exist,
-                        n_skipped_duplicate=n_dup, n_failed=n_fail)
+                        n_skipped_duplicate=n_dup, n_failed=n_fail,
+                        n_name_collisions=n_coll)

@@ -115,6 +115,10 @@ class ReviewWebApp:
 
     def replace(self, box) -> dict:
         with self.lock:
+            # Re-check under the lock: another tab's /api/manual may have
+            # consumed the last item after the handler's pre-check.
+            if self.session.current is None:
+                return {"ok": False, "error": "review complete"}
             self.session.replace_label(tuple(box))
             return {"ok": True}
 
@@ -166,21 +170,32 @@ def make_handler(app: ReviewWebApp):
             except json.JSONDecodeError:
                 self._json({"error": "bad json"}, 400)
                 return
-            if app.session.current is None and self.path != "/api/state":
+            # The completeness pre-check must hold the app lock — an
+            # unguarded read races a concurrent /api/manual that removes
+            # the last item (the app methods re-check under their lock,
+            # but the friendly 409 should too).
+            with app.lock:
+                complete = app.session.current is None
+            if complete and self.path != "/api/state":
                 self._json({"error": "review complete"}, 409)
                 return
             if self.path == "/api/select":
-                if "box" not in body:
-                    self._json({"error": "box index required"}, 400)
+                try:
+                    box_idx = int(body["box"])
+                except (KeyError, TypeError, ValueError):
+                    self._json({"error": "integer box index required"}, 400)
                     return
-                self._json(app.select(body["box"]))
+                self._json(app.select(box_idx))
             elif self.path == "/api/redetect":
                 self._json(app.redetect())
             elif self.path == "/api/replace":
-                if "box" not in body or len(body["box"]) != 4:
+                box = body.get("box")
+                if (not isinstance(box, (list, tuple)) or len(box) != 4
+                        or not all(isinstance(v, (int, float))
+                                   for v in box)):
                     self._json({"error": "box [x1,y1,x2,y2] required"}, 400)
                     return
-                self._json(app.replace(body["box"]))
+                self._json(app.replace(box))
             elif self.path == "/api/manual":
                 self._json(app.manual())
             elif self.path in ("/api/next", "/api/prev"):

@@ -222,12 +222,26 @@ def make_handler(app: SegmentWebApp):
                 if "x" not in body or "y" not in body:
                     self._json({"error": "x and y required"}, 400)
                     return
-                self._json(app.click(float(body["x"]), float(body["y"])))
+                try:
+                    x, y = float(body["x"]), float(body["y"])
+                except (TypeError, ValueError):
+                    self._json({"error": "x and y must be numbers"}, 400)
+                    return
+                self._json(app.click(x, y))
             elif self.path == "/api/save":
                 if app._candidates is None:
                     self._json({"error": "click first"}, 400)
                     return
-                self._json(app.save(int(body.get("mask", 0))))
+                try:
+                    mask_idx = int(body.get("mask", 0))
+                except (TypeError, ValueError):
+                    self._json({"error": "mask must be an integer"}, 400)
+                    return
+                if not 0 <= mask_idx < len(app._candidates):
+                    self._json({"error": f"mask index {mask_idx} out of "
+                                f"range [0, {len(app._candidates)})"}, 400)
+                    return
+                self._json(app.save(mask_idx))
             elif self.path == "/api/next":
                 self._json(app.next())
             else:

@@ -318,8 +318,12 @@ def serve_http(detector: RetrievalDetector, host: str = "0.0.0.0",
             try:
                 det = (batcher.submit(canvas) if batcher is not None
                        else detector.detect(canvas[None])[0])
-            except RuntimeError as e:
-                self._json({"error": str(e)}, 500)
+            except Exception as e:
+                # Any detect failure (XLA runtime, shape/dtype errors —
+                # the batched path wraps them in RuntimeError, the
+                # direct path can raise anything) must answer with a
+                # 500, not a dropped connection.
+                self._json({"error": f"{type(e).__name__}: {e}"}, 500)
                 return
             det["box"] = [
                 float(np.clip(v / scale, 0,

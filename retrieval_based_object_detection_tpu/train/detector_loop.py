@@ -114,6 +114,12 @@ def fit_detector(
             loader.close()
         if n_fill:
             log.event("refill", repeated_samples=n_fill)
+        if not metrics:
+            # Same guard as train/loop.py: every image failing to decode
+            # must be a clear error, not a KeyError below.
+            raise ValueError(
+                "no trainable batches survived decoding — every labeled "
+                "image in the tree failed to load")
         log.event("epoch", epoch=epoch,
                   loss=round(float(metrics["loss"]), 4),
                   n_pos=int(metrics["n_pos"]))

@@ -132,9 +132,27 @@ def make_train_step(
 
 
 def place(params, opt_state, mesh: Mesh):
-    """Move params/opt_state onto the mesh with the training layout."""
+    """Move params/opt_state onto the mesh with the training layout.
+
+    AdamW's moments (mu/nu — param-shaped trees, 2× the model size
+    combined) take the SAME tp layout as the params: replicating them
+    would re-spend per chip exactly the HBM the tower sharding saves.
+    Scalars and anything non-param-shaped replicate."""
     p_shard = param_shardings(mesh)
+    p_struct = jax.tree_util.tree_structure(params)
     params = jax.tree.map(jax.device_put, params, p_shard)
     rep = NamedSharding(mesh, P())
-    opt_state = jax.tree.map(lambda a: jax.device_put(a, rep), opt_state)
+
+    def is_param_tree(node) -> bool:
+        if isinstance(node, jax.Array) or not isinstance(node, dict):
+            return False
+        try:
+            return jax.tree_util.tree_structure(node) == p_struct
+        except Exception:
+            return False
+
+    opt_state = jax.tree.map(
+        lambda n: (jax.tree.map(jax.device_put, n, p_shard)
+                   if is_param_tree(n) else jax.device_put(n, rep)),
+        opt_state, is_leaf=is_param_tree)
     return params, opt_state

@@ -102,6 +102,14 @@ def test_train_step_dp_tp(rng):
     # Params follow the tp sharding (w_fc output dim split over tp=4).
     w_fc = p1["tower"]["blocks"]["w_fc"]
     assert w_fc.sharding.spec == jax.sharding.PartitionSpec(None, None, "tp")
+    # AdamW moments take the SAME tp layout — replicating them would
+    # re-spend the HBM the tower sharding saves (place() contract).
+    import optax
+
+    adam = next(s for s in o1 if isinstance(s, optax.ScaleByAdamState))
+    mu_fc = adam.mu["tower"]["blocks"]["w_fc"]
+    assert mu_fc.sharding.spec == jax.sharding.PartitionSpec(
+        None, None, "tp")
 
 
 def test_train_step_dp_only(rng):
