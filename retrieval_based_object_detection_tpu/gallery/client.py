@@ -180,9 +180,25 @@ class GalleryClient:
 
     def get_by_path(self, img_path: str, with_vectors: bool = True
                     ) -> Record | None:
-        recs, _ = self.scroll(Filter(must={"img_path": img_path}),
-                              limit=1, with_vectors=with_vectors)
-        return recs[0] if recs else None
+        # The dedicated route goes through Gallery.get_by_path
+        # server-side, which includes the resolved-path fallback an
+        # exact-match scroll filter cannot reproduce (abs/rel path
+        # spelling differences between the embed and experiment runs).
+        try:
+            out = _request(
+                "POST", self._url("/points/by-path"),
+                {"img_path": img_path, "with_vectors": with_vectors})
+            p = out.get("point")
+            if p is None:
+                return None
+            return self._record(p)
+        except GalleryServiceError as e:
+            if e.code != 404:
+                raise
+            # Pre-route server: exact-match scroll (no fallback).
+            recs, _ = self.scroll(Filter(must={"img_path": img_path}),
+                                  limit=1, with_vectors=with_vectors)
+            return recs[0] if recs else None
 
     def vectors_matching(self, flt: Filter | None = None) -> np.ndarray:
         recs = self.scroll_all(flt, with_vectors=True)

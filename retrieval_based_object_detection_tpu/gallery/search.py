@@ -321,9 +321,10 @@ def int8_cosine_topk(
         preferred_element_type=jnp.int32,
     )
     scores = jnp.where(mask[None, :], scores, jnp.int32(-(2 ** 31) + 1))
-    cand_s, cand_i = jax.lax.top_k(scores, rescore)
-    rows = jnp.take(gallery_f32, cand_i, axis=0)  # [Q, rescore, D]
-    exact = jnp.einsum("qd,qrd->qr", qn, rows,
+    r_eff = min(rescore, gallery_i8.shape[0])  # as the int4 twin clamps
+    cand_s, cand_i = jax.lax.top_k(scores, r_eff)
+    rows = jnp.take(gallery_f32, cand_i, axis=0)  # [Q, r_eff, D]
+    exact = jnp.einsum("qd,qrd->qr", qn.astype(rows.dtype), rows,
                        preferred_element_type=jnp.float32)
     exact = jnp.where(cand_s > -(2 ** 31) + 1, exact, NEG_INF)
     best_s, pos = jax.lax.top_k(exact, k)

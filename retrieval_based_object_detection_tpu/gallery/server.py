@@ -86,6 +86,8 @@ class GalleryService:
             return {"deleted": name}
 
     def rename(self, name: str, body: dict):
+        if "new_name" not in body:
+            raise ValueError("missing required field(s): ['new_name']")
         with self.lock:
             self.store.rename_collection(name, body["new_name"])
             return {"renamed": [name, body["new_name"]]}
@@ -95,12 +97,35 @@ class GalleryService:
             return {"count": self.store.get(name).count(_filter_from(body))}
 
     def upsert(self, name: str, body: dict):
+        missing = [k for k in ("ids", "vectors", "payloads")
+                   if k not in body]
+        if missing:
+            raise ValueError(f"missing required field(s): {missing}")
         with self.lock:
             g = self.store.get(name)
             n = g.upsert(body["ids"],
                          np.asarray(body["vectors"], np.float32),
                          body["payloads"])
             return {"upserted": n}
+
+    def by_path(self, name: str, body: dict):
+        """Single-point lookup through Gallery.get_by_path — including
+        its resolved-path fallback, which a client-side exact-match
+        scroll filter cannot reproduce (the embed and experiment runs
+        may spell the same file differently)."""
+        if "img_path" not in body:
+            raise ValueError("missing required field(s): ['img_path']")
+        with self.lock:
+            rec = self.store.get(name).get_by_path(
+                str(body["img_path"]),
+                with_vectors=bool(body.get("with_vectors", True)))
+            if rec is None:
+                return {"point": None}
+            return {"point": {
+                "id": rec.id, "payload": rec.payload.to_dict(),
+                **({"vector": rec.vector.tolist()}
+                   if rec.vector is not None else {}),
+            }}
 
     def scroll(self, name: str, body: dict):
         with self.lock:
@@ -120,10 +145,14 @@ class GalleryService:
             }
 
     def search(self, name: str, body: dict):
+        if "queries" not in body:
+            raise ValueError("missing required field(s): ['queries']")
         with self.lock:
-            # method=None/"auto" defers to Gallery.search's auto-routing
-            # (exact when exact=True, else bf16/int8 by scale+backend).
-            method = body.get("method", "exact")
+            # Default is auto-routing so the `exact` flag actually works:
+            # method=None defers to Gallery.search (exact when
+            # exact=True, else bf16/int8 by scale+backend); an explicit
+            # method overrides.
+            method = body.get("method")
             if method == "auto":
                 method = None
             with_vectors = bool(body.get("with_vectors", False))
@@ -227,6 +256,8 @@ def make_handler(svc: GalleryService):
                         return self._json(svc.scroll(name, body))
                     if op == "search":
                         return self._json(svc.search(name, body))
+                    if op == "by-path":
+                        return self._json(svc.by_path(name, body))
                     if op == "delete":
                         return self._json(svc.delete_points(name, body))
                 return self._json({"error": "not found"}, 404)

@@ -33,9 +33,16 @@ def _and_masks(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def shard_rows(n_rows: int, n_shards: int) -> int:
-    """Padded per-shard row count (lane-aligned)."""
+    """Padded per-shard row count. Lane-aligned (256) when small; at
+    scan scale padded to the Pallas TILE_ROWS multiple so the int8/int4
+    kernels keep their measured-optimal tiles (256-row fallback tiles
+    cost ~25% of the scan's bandwidth — ops/int4_scan.py numbers)
+    instead of whatever 256-multiple ceil-division happens to produce."""
+    from retrieval_based_object_detection_tpu.ops import int8_scan
+
     per = -(-n_rows // n_shards)
-    return search_lib.pad_rows(per, 256)
+    multiple = int8_scan.TILE_ROWS if per >= 131_072 else 256
+    return search_lib.pad_rows(per, multiple)
 
 
 def build_sharded(
@@ -209,7 +216,12 @@ class ShardedGallerySearcher:
         already-sharded normalised rows — one jit pass, stays sharded,
         nothing crosses the host link. Uses the SAME quantiser as the
         query side (search_lib.quantize_rows_int8) — the exact-integer
-        score guarantee depends on them matching bit-for-bit."""
+        score guarantee depends on them matching bit-for-bit.
+
+        In capacity mode the source rows are the bf16 mirror, so the
+        codes can differ by ±1 from f32-derived ones: the int8 tier is
+        then approximate at bf16 fidelity (like everything else in
+        capacity mode), not bit-exact vs an f32 build."""
         self._dev_int8 = jax.jit(search_lib.quantize_rows_int8)(
             self.dev_vectors)
 

@@ -340,7 +340,11 @@ class Gallery:
         mask = cols.mask(flt)
         codes = np.unique(cols._cols[fieldname][: self.count()][mask])
         decode = cols._decode[fieldname]
-        return sorted(decode[c] for c in codes if c >= 0)
+        vals = [decode[c] for c in codes if c >= 0]
+        # None is a legal stored value (delegate_type on non-delegate
+        # points) and must not blow up the sort against str.
+        return sorted((v for v in vals if v is not None)) + (
+            [None] if any(v is None for v in vals) else [])
 
     def vectors_matching(self, flt: Filter | None = None) -> np.ndarray:
         """All vectors matching a filter as one [M, D] float32 array."""
@@ -519,6 +523,10 @@ class Gallery:
 
                 method = ("int8" if n >= self.INT8_SCAN_MIN_ROWS
                           and platform.is_tpu() else "bf16")
+        if method not in ("exact", "bf16", "int8", "int4"):
+            raise ValueError(
+                f"unknown method {method!r}: expected one of "
+                "'exact', 'bf16', 'int8', 'int4' (or None for auto)")
         if method in ("int8", "int4") and self.distance != "cosine":
             raise ValueError(
                 f"method={method!r} requires a cosine collection (the "

@@ -290,3 +290,44 @@ def test_snapshot_v2_large_load_reuses_buffer(tmp_path, rng):
               [Payload(data_type="original_images", class_name="x",
                        img_path="/b/extra.png")])
     assert len(g2) == n + 1
+
+
+def test_distinct_handles_none_values(rng):
+    """delegate_type is None on every non-delegate point; distinct()
+    must not crash sorting None against str."""
+    g = Gallery("dn", dim=8)
+    g.upsert(["a"], rng.normal(size=(1, 8)).astype(np.float32),
+             [Payload(data_type="original_images", class_name="x",
+                      img_path="/x.png")])
+    g.upsert(["d"], rng.normal(size=(1, 8)).astype(np.float32),
+             [Payload(data_type="original_images", class_name="x",
+                      is_delegate=True, delegate_type="average",
+                      img_path="/d.png")])
+    assert g.distinct("delegate_type") == ["average", None]
+    assert g.distinct("class_name") == ["x"]
+
+
+def test_search_rejects_unknown_method(rng):
+    g = Gallery("um", dim=8)
+    g.upsert(["a"], rng.normal(size=(1, 8)).astype(np.float32),
+             [Payload(data_type="original_images", class_name="x",
+                      img_path="/x.png")])
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown method"):
+        g.search(np.zeros(8, np.float32), method="int16")
+
+
+def test_get_by_path_resolved_fallback(rng, tmp_path):
+    g = Gallery("rp", dim=8)
+    img = tmp_path / "a.png"
+    img.write_bytes(b"x")
+    g.upsert(["p"], rng.normal(size=(1, 8)).astype(np.float32),
+             [Payload(data_type="original_images", class_name="x",
+                      img_path=str(img.resolve()))])
+    import os
+
+    rel = os.path.relpath(str(img))
+    rec = g.get_by_path(rel)
+    assert rec is not None and rec.id == "p"
+    assert g.get_by_path("/definitely/not/there.png") is None

@@ -121,3 +121,63 @@ def test_count_filter_via_query_param(server, rng):
     status, res = call("POST", f"{base}/collections/q/count",
                        {"filter": {"class_name": "b"}})
     assert res["count"] == 4
+
+
+def test_by_path_route_resolves_spelling(server, rng, tmp_path):
+    """The by-path route rides Gallery.get_by_path's resolved-path
+    fallback: a relative-path lookup finds a point stored under the
+    absolute spelling (the served-topology twin of the local fix)."""
+    import os
+
+    base, _ = server
+    call("PUT", f"{base}/collections/bp", {"dim": 8})
+    img = tmp_path / "img" / "a.png"
+    img.parent.mkdir(parents=True, exist_ok=True)
+    img.write_bytes(b"x")
+    abs_path = str(img.resolve())
+    call("POST", f"{base}/collections/bp/points", {
+        "ids": ["p1"], "vectors": [[1.0] * 8],
+        "payloads": [{"data_type": "original_images", "class_name": "c",
+                      "img_path": abs_path}]})
+    rel = os.path.relpath(abs_path)
+    st, out = call("POST", f"{base}/collections/bp/points/by-path",
+                   {"img_path": rel})
+    assert st == 200 and out["point"] is not None
+    assert out["point"]["id"] == "p1"
+    st, out = call("POST", f"{base}/collections/bp/points/by-path",
+                   {"img_path": "/nowhere/else.png"})
+    assert st == 200 and out["point"] is None
+    st, out = call("POST", f"{base}/collections/bp/points/by-path", {})
+    assert st == 400
+
+
+def test_missing_body_keys_are_400_not_404(server):
+    base, _ = server
+    call("PUT", f"{base}/collections/mk", {"dim": 8})
+    st, out = call("POST", f"{base}/collections/mk/points",
+                   {"vectors": [[1.0] * 8]})  # no ids/payloads
+    assert st == 400 and "missing required" in out["error"]
+    st, out = call("POST", f"{base}/collections/mk/rename", {})
+    assert st == 400
+    st, out = call("POST", f"{base}/collections/mk/points/search", {})
+    assert st == 400
+
+
+def test_search_exact_false_auto_routes(server, rng):
+    """exact:false without an explicit method must hit the serving tier
+    (auto-routing), not silently run f32 HIGHEST."""
+    base, _ = server
+    call("PUT", f"{base}/collections/au", {"dim": 8})
+    vecs = rng.normal(size=(5, 8)).astype(float)
+    call("POST", f"{base}/collections/au/points", {
+        "ids": [f"i{j}" for j in range(5)],
+        "vectors": vecs.tolist(),
+        "payloads": [{"data_type": "original_images", "class_name": "c",
+                      "img_path": f"/{j}.png"} for j in range(5)]})
+    st, out = call("POST", f"{base}/collections/au/points/search",
+                   {"queries": [vecs[2].tolist()], "exact": False, "k": 1})
+    assert st == 200 and out["results"][0][0]["id"] == "i2"
+    # Unknown explicit method surfaces as a clean 400, not a crash.
+    st, out = call("POST", f"{base}/collections/au/points/search",
+                   {"queries": [vecs[2].tolist()], "method": "int16"})
+    assert st == 400 and "unknown method" in out["error"]
