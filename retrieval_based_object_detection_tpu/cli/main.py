@@ -478,6 +478,14 @@ def cmd_gallery_server(args) -> int:
     srv = serve(args.store, host=args.host, port=args.port)
     print(f"gallery service on http://{args.host}:{srv.server_address[1]} "
           f"(store: {args.store})")
+    # Container orchestrators stop with SIGTERM, not Ctrl-C — route it
+    # through the same snapshot-on-shutdown path (the finally below).
+    import signal
+
+    def _sigterm(*_):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
@@ -549,6 +557,80 @@ def cmd_serve(args) -> int:
     except KeyboardInterrupt:
         pass
     return 0
+
+
+def cmd_doctor(args) -> int:
+    """Environment diagnostic: backend, devices, native runtime, store
+    health, checkpoint cache — the first thing to run on a new machine
+    or when something behaves oddly."""
+    import jax
+
+    ok = True
+
+    def row(label, value, good=True):
+        nonlocal ok
+        ok = ok and good
+        print(f"  {'✓' if good else '✗'} {label}: {value}")
+
+    print("[doctor] JAX / devices")
+    row("jax", jax.__version__)
+    try:
+        devs = jax.devices()
+        kinds = {d.platform for d in devs}
+        row("backend", f"{jax.default_backend()} "
+            f"({len(devs)} device(s): {sorted(kinds)})")
+        from retrieval_based_object_detection_tpu.utils import platform
+
+        row("tpu", platform.is_tpu(),
+            good=True)  # informational — CPU is a valid dev setup
+    except Exception as e:
+        row("devices", f"FAILED: {e}", good=False)
+
+    print("[doctor] native runtime")
+    try:
+        from retrieval_based_object_detection_tpu import native
+
+        row("librbod", "loaded" if native.available()
+            else "absent (NumPy fallbacks active — run make -C native)",
+            good=True)
+    except Exception as e:
+        row("native import", f"FAILED: {e}", good=False)
+
+    print("[doctor] store")
+    from pathlib import Path as _P
+
+    store_dir = _P(args.store)
+    if store_dir.is_dir():
+        from retrieval_based_object_detection_tpu.gallery.persist import (
+            list_snapshots,
+        )
+
+        snaps = list_snapshots(store_dir)
+        row(str(store_dir), f"{len(snaps)} collection(s): "
+            + (", ".join(f"{n} ({c})" for n, c in snaps) or "—"))
+    else:
+        row(str(store_dir), "no store directory (created on first write)")
+
+    print("[doctor] checkpoint cache (model/)")
+    model_dir = _P("model")
+    if model_dir.is_dir():
+        files = sorted(p.name for p in model_dir.iterdir()
+                       if p.suffix in (".pt", ".pth"))
+        row("cached", ", ".join(files) or "none")
+    else:
+        row("cached", "none (auto-download needs network; see README "
+            "'Pretrained weights')")
+
+    print("[doctor] compute smoke test")
+    try:
+        import jax.numpy as jnp
+
+        v = float(jnp.dot(jnp.ones(8), jnp.ones(8)))
+        row("jit dot", v, good=v == 8.0)
+    except Exception as e:
+        row("jit dot", f"FAILED: {e}", good=False)
+    print("[doctor]", "all checks passed" if ok else "PROBLEMS FOUND")
+    return 0 if ok else 1
 
 
 def cmd_bench(args) -> int:
@@ -1093,6 +1175,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     add("wizard", cmd_wizard,
         help="interactive stage picker (the reference's prompt-driven UX)")
+
+    sp = add("doctor", cmd_doctor,
+             help="environment diagnostic: backend, native lib, store, "
+                  "checkpoint cache")
+    sp.add_argument("--store", default="gallery_store")
 
     sp = add("bench", cmd_bench,
              help="run the benchmark suite (benchmarks/suite.py)")

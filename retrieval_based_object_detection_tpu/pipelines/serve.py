@@ -276,9 +276,16 @@ def serve_http(detector: RetrievalDetector, host: str = "0.0.0.0",
     (``MicroBatcher``): up to ``max_batch`` co-arriving uploads within
     ``batch_wait_ms`` run as one fused batch. ``max_batch=1`` disables
     batching.
+
+    Observability: ``GET /healthz`` → liveness (503 once the batching
+    worker has died); ``GET /stats`` → request counters, latency
+    percentiles, and the recent dispatch batch-size histogram.
     """
+    import collections
     import io
     import json
+    import threading
+    import time as _time
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from retrieval_based_object_detection_tpu.pipelines.labeling import (
@@ -287,6 +294,9 @@ def serve_http(detector: RetrievalDetector, host: str = "0.0.0.0",
 
     batcher = (MicroBatcher(detector, max_batch, batch_wait_ms)
                if max_batch > 1 else None)
+    stats_lock = threading.Lock()
+    stats = {"requests": 0, "errors": 0, "started": _time.time()}
+    latencies: "collections.deque[float]" = collections.deque(maxlen=1024)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
@@ -299,6 +309,29 @@ def serve_http(detector: RetrievalDetector, host: str = "0.0.0.0",
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                alive = batcher is None or batcher._thread.is_alive()
+                self._json({"ok": alive}, 200 if alive else 503)
+            elif self.path == "/stats":
+                with stats_lock:
+                    lats = sorted(latencies)
+                    out = dict(stats)
+                out["uptime_s"] = round(_time.time() - out.pop("started"), 1)
+                if lats:
+                    out["latency_ms"] = {
+                        "p50": round(lats[len(lats) // 2] * 1000, 2),
+                        "p95": round(lats[int(len(lats) * 0.95)] * 1000, 2),
+                        "n": len(lats),
+                    }
+                if batcher is not None:
+                    sizes = list(batcher.batch_sizes)
+                    out["batch_sizes"] = dict(
+                        sorted(collections.Counter(sizes).items()))
+                self._json(out)
+            else:
+                self._json({"error": "not found"}, 404)
 
         def do_POST(self):
             if self.path != "/detect":
@@ -315,6 +348,7 @@ def serve_http(detector: RetrievalDetector, host: str = "0.0.0.0",
                 self._json({"error": "not an image"}, 400)
                 return
             canvas, scale = letterbox(arr, serving_size)
+            t0 = _time.perf_counter()
             try:
                 det = (batcher.submit(canvas) if batcher is not None
                        else detector.detect(canvas[None])[0])
@@ -323,8 +357,14 @@ def serve_http(detector: RetrievalDetector, host: str = "0.0.0.0",
                 # the batched path wraps them in RuntimeError, the
                 # direct path can raise anything) must answer with a
                 # 500, not a dropped connection.
+                with stats_lock:
+                    stats["requests"] += 1
+                    stats["errors"] += 1
                 self._json({"error": f"{type(e).__name__}: {e}"}, 500)
                 return
+            with stats_lock:
+                stats["requests"] += 1
+                latencies.append(_time.perf_counter() - t0)
             det["box"] = [
                 float(np.clip(v / scale, 0,
                               arr.shape[1] if i % 2 == 0 else arr.shape[0]))

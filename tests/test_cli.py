@@ -97,3 +97,12 @@ def test_profile_dir_captures_trace(project, tmp_path):
     # jax.profiler writes plugins/profile/<ts>/*; presence = captured.
     assert list((tmp_path / "trace").rglob("*.xplane.pb")), \
         list((tmp_path / "trace").rglob("*"))
+
+
+def test_doctor_runs_clean(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    from retrieval_based_object_detection_tpu.cli.main import main
+
+    assert main(["doctor"]) == 0
+    out = capsys.readouterr().out
+    assert "all checks passed" in out

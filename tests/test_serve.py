@@ -267,3 +267,34 @@ def test_microbatcher_arbitrary_max_batch():
         t.join(timeout=30)
     assert all(r is not None for r in results)
     assert mb.sizes[-1] == 3 and sum(det.batches) >= 3
+
+
+def test_healthz_and_stats_endpoints():
+    counting = _CountingDetector()
+    srv = SV.serve_http(counting, host="127.0.0.1", port=0,
+                        serving_size=64, max_batch=4, batch_wait_ms=5)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["ok"] is True
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(buf, "PNG")
+        req = urllib.request.Request(base + "/detect", data=buf.getvalue(),
+                                    method="POST")
+        with urllib.request.urlopen(req, timeout=60):
+            pass
+        with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] == 1 and stats["errors"] == 0
+        assert stats["latency_ms"]["n"] == 1
+        assert stats["batch_sizes"] == {"1": 1}
+        # Unknown GET path → 404, not a dropped connection.
+        try:
+            urllib.request.urlopen(base + "/nope", timeout=30)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()
