@@ -202,9 +202,22 @@ class MicroBatcher:
             maxlen=1024)
 
     def submit(self, canvas: np.ndarray) -> dict:
-        """Blocking: one [H, W, 3] canvas → its detection dict."""
+        """Blocking: one [H, W, 3] canvas → its detection dict.
+
+        The canvas is ``device_put`` HERE, in the handler thread — so
+        N concurrent requests upload in parallel (the transport behaves
+        like the unbatched endpoint) while the worker only pays a
+        device-side stack + ONE fused dispatch. Without this, the
+        worker serialised every upload and a slow host↔device link
+        inverted the batching win (DESIGN.md measurement)."""
         import threading
 
+        import jax
+
+        try:
+            canvas = jax.device_put(canvas)
+        except Exception:
+            pass  # no backend / unusual dtype: worker stacks host-side
         done = threading.Event()
         holder: dict = {}
         self._q.put((canvas, holder, done))
@@ -241,9 +254,14 @@ class MicroBatcher:
             # error (mixed canvas shapes reach the public submit()) must
             # fail these requests, never kill the worker loop.
             try:
+                import jax.numpy as jnp
+
                 canvases = [c for c, _, _ in items]
                 padded = next(s for s in self.sizes if s >= n)
-                batch = np.stack(
+                # Device-side stack: the canvases were device_put in
+                # their handler threads, so this is a cheap on-device
+                # concat, not an upload.
+                batch = jnp.stack(
                     canvases + [canvases[0]] * (padded - n))
                 results = self.detector.detect(batch)[:n]
                 if len(results) != n:
