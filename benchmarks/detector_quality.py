@@ -171,12 +171,19 @@ def evaluate_tinydet(tmp_dir: str | None = None, epochs: int = 30) -> dict:
     )
 
     rng = np.random.default_rng(7)
+    own_tmp = tmp_dir is None
     tmp = tmp_dir or tempfile.mkdtemp(prefix="tinydet_bench_")
     cfg = tinydet.TinyDetConfig(image_size=128)
-    write_labeled_tree(tmp, rng, n_per_family=48, size=cfg.image_size)
-    params, metrics = fit_detector(
-        cfg, DetFitConfig(root_dir=tmp, img_type="original",
-                          epochs=epochs, batch_size=16))
+    try:
+        write_labeled_tree(tmp, rng, n_per_family=48, size=cfg.image_size)
+        params, metrics = fit_detector(
+            cfg, DetFitConfig(root_dir=tmp, img_type="original",
+                              epochs=epochs, batch_size=16))
+    finally:
+        if own_tmp:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     det = TinyDetDetector(params, cfg, conf_threshold=0.25)
 
     def square_eval(family):

@@ -32,7 +32,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def _fetch(x) -> float:
     import jax.numpy as jnp
 
-    return float(jnp.sum(x) if hasattr(x, "dtype") else x)
+    # Scalars fetch directly — an eager jnp.sum on an 0-d result is an
+    # EXTRA dispatch the RT subtraction doesn't account for.
+    if getattr(x, "ndim", None) == 0 or not hasattr(x, "dtype"):
+        return float(x)
+    return float(jnp.sum(x))
 
 
 _RT_S: float | None = None
@@ -437,6 +441,9 @@ def main() -> None:
                              "gallery", "scan", "scan_int4", "capacity_10m",
                              "store_api", "ingest"])
     args = ap.parse_args()
+    if args.only is not None and not args.only:
+        ap.error("--only given without bench names (omit the flag to run "
+                 "everything — an empty list must not silently mean ALL)")
 
     benches = {
         "embed": bench_embed,

@@ -53,7 +53,16 @@ def _store_save(store, path: str) -> None:
     save_store(store, path)
 
 
-def _load_clip(checkpoint: str | None, image_size: int | None = None,
+def _get_collection(store, name: str):
+    """store.get with the clean missing-collection error every command
+    should produce (not a raw KeyError traceback)."""
+    if name not in store:
+        print(f"error: no such collection: {name!r}", file=sys.stderr)
+        raise SystemExit(1)
+    return store.get(name)
+
+
+def _load_clip(checkpoint: str | None,
                variant: str | None = None, cache_dir: str = "model"):
     """CLIP params + config: converted checkpoint if given (torch file or
     a converted orbax dir from `rbod convert-weights`), auto-downloaded
@@ -69,7 +78,6 @@ def _load_clip(checkpoint: str | None, image_size: int | None = None,
 
         checkpoint = str(ensure_checkpoint(variant, cache_dir))
     if checkpoint and Path(checkpoint).is_dir():
-        import dataclasses
         import json
 
         from retrieval_based_object_detection_tpu.utils.checkpoint import (
@@ -108,11 +116,36 @@ def cmd_ingest(args) -> int:
         src_root=args.src, dst_root=args.dst, img_type=args.type,
         classes=args.classes))
     print(f"converted={res.n_converted} existing={res.n_skipped_existing} "
-          f"duplicates={res.n_skipped_duplicate} failed={res.n_failed}")
+          f"duplicates={res.n_skipped_duplicate} failed={res.n_failed}"
+          + (f" name_collisions={res.n_name_collisions}"
+             if res.n_name_collisions else ""))
     return 0
 
 
 def cmd_store(args) -> int:
+    # list/count need only snapshot headers on a local store — do not
+    # deserialise gigabytes of vectors to print a name and a number.
+    local = not args.store.startswith(("http://", "https://"))
+    if local and args.action == "list":
+        from retrieval_based_object_detection_tpu.gallery.persist import (
+            list_snapshots,
+        )
+
+        for name, count in list_snapshots(args.store):
+            print(f"{name}\t{count}")
+        return 0
+    if local and args.action == "count" and args.name:
+        from retrieval_based_object_detection_tpu.gallery.persist import (
+            list_snapshots,
+        )
+
+        counts = dict(list_snapshots(args.store))
+        if args.name not in counts:
+            print(f"error: no such collection: {args.name!r}",
+                  file=sys.stderr)
+            return 1
+        print(counts[args.name])
+        return 0
     store = _store_load(args.store)
     needs_name = args.action in ("create", "rename", "delete", "count")
     if needs_name and not args.name:
@@ -139,6 +172,10 @@ def cmd_store(args) -> int:
         _store_save(store, args.store)
         print(f"created {args.name} (dim={args.dim}, {args.distance})")
     elif args.action == "rename":
+        if args.new_name in store:
+            print(f"error: collection {args.new_name!r} already exists",
+                  file=sys.stderr)
+            return 1
         store.rename_collection(args.name, args.new_name)
         _store_save(store, args.store)
         print(f"renamed {args.name} -> {args.new_name}")
@@ -157,7 +194,6 @@ def cmd_store(args) -> int:
 
 def _load_tinydet(checkpoint: str, conf_threshold: float):
     """TinyDetDetector from a `rbod fit-detector` output dir."""
-    import dataclasses
     import json
 
     from retrieval_based_object_detection_tpu.models.detector import tinydet
@@ -191,6 +227,10 @@ def cmd_label(args) -> int:
                   " (run `rbod fit-detector` first)", file=sys.stderr)
             return 2
         detector = _load_tinydet(args.detector_checkpoint, args.conf)
+    elif args.detector_checkpoint:
+        print("[rbod] WARNING: --detector-checkpoint given but --detector "
+              f"is {args.detector!r} — the checkpoint is IGNORED (pass "
+              "--detector tinydet to use it)", file=sys.stderr)
     res = run_labeling(LabelConfig(
         root_dir=args.root, img_type=args.type, classes=args.classes,
         conf_threshold=args.conf, max_object_count=args.max_objects,
@@ -422,7 +462,7 @@ def cmd_delegates(args) -> int:
     from retrieval_based_object_detection_tpu.pipelines import delegates as dp
 
     store = _store_load(args.store)
-    gallery = store.get(args.collection)
+    gallery = _get_collection(store, args.collection)
     res = dp.build_delegates(gallery, classes=args.classes, alpha=args.alpha)
     _store_save(store, args.store)
     print(f"delegates_written={res.n_delegates_written}")
@@ -436,7 +476,7 @@ def cmd_experiments(args) -> int:
     from retrieval_based_object_detection_tpu.pipelines import experiments as xp
 
     store = _store_load(args.store)
-    gallery = store.get(args.collection)
+    gallery = _get_collection(store, args.collection)
     root = xp.TEST_GROUPS.get(args.test_group, args.test_group)
     out = xp.run_experiments(gallery, xp.ExperimentConfig(
         root_dir=root, results_dir=args.results_dir,
@@ -537,7 +577,7 @@ def cmd_serve(args) -> int:
     )
 
     store = _store_load(args.store)
-    gallery = store.get(args.collection)
+    gallery = _get_collection(store, args.collection)
     params, config = _load_clip(args.clip_checkpoint,
                                 variant=getattr(args, "clip_variant",
                                                 None))
@@ -645,6 +685,10 @@ def cmd_bench(args) -> int:
         print("benchmarks/suite.py not found — `rbod bench` needs a "
               "source checkout", file=_sys.stderr)
         return 1
+    if args.only is not None and not args.only:
+        print("error: --only given without bench names (omit the flag to "
+              "run everything)", file=_sys.stderr)
+        return 2
     argv = [str(suite)]
     if args.quick:
         argv.append("--quick")
@@ -857,9 +901,17 @@ def cmd_wizard(args) -> int:
              "next", "prev"], default="status")]
     if stage == "segment-web":
         argv = [stage]  # no --type flag on this command
+        # The session lists ONE flat directory of images — default to a
+        # concrete class dir (the type dir alone holds only class
+        # subdirectories, which would show "(0 images)").
+        type_dir = Path(f"dataset_cropped/{img_type}_images")
+        classes = (sorted(p.name for p in type_dir.iterdir() if p.is_dir())
+                   if type_dir.is_dir() else [])
+        default_dir = (str(type_dir / classes[0]) if classes
+                       else str(type_dir))
         argv += ["--dir", prompt_value(
-            "Class directory to segment?",
-            default=f"dataset_cropped/{img_type}_images")]
+            "Class directory to segment (one class's images)?",
+            default=default_dir)]
         if prompt_yes_no("Re-segment already-processed images?",
                          default=False):
             argv += ["--all"]
