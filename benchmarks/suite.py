@@ -251,7 +251,8 @@ def bench_gallery_scan_kernel(quick: bool) -> dict:
 def bench_gallery_scan_int4(quick: bool) -> dict:
     """The half-bandwidth tier: int4-packed Pallas scan (per-row scales
     compensated in-kernel) + approx candidates + exact f32 rescore.
-    Measured 0.79 ms @1M vs int8's 0.86 in the same session."""
+    Shipped v2 kernel (MXU-offloaded nibble unpack, tile_rows=8192):
+    0.54 ms @1M vs int8's 0.85 in the same session (DESIGN.md)."""
     import jax
     import jax.numpy as jnp
 

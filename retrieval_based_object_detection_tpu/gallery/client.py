@@ -74,8 +74,14 @@ def _request(method: str, url: str, body: dict | None = None,
             msg = json.loads(e.read()).get("error", "")
         except Exception:
             msg = ""
-        if array is not None and e.code == 400:
-            return _json_retry()  # version skew: JSON-only server
+        if array is not None and e.code == 400 and msg == "bad json":
+            # Version skew: a JSON-only server fed the binary frame fails
+            # json.loads on the raw bytes -> exactly "bad json". Any
+            # other 400 (e.g. a validation error from a binary-capable
+            # server) must surface immediately — resending a multi-GB
+            # upsert as a 20x JSON body just to receive the same 400 is
+            # not a retry strategy (ADVICE r2).
+            return _json_retry()
         raise GalleryServiceError(e.code, msg) from e
     except (urllib.error.URLError, ConnectionError) as e:
         # A pre-binary server dies mid-request on the frame (handler

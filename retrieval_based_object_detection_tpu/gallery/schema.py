@@ -232,6 +232,11 @@ class PayloadColumns:
     def row_by_path(self, img_path: str) -> int | None:
         return self._path_index.get(img_path)
 
+    def path_of(self, row: int) -> str:
+        """img_path of one row without materialising a full Payload
+        (the resolved-path index build touches every row)."""
+        return self._img_path[row] or ""
+
     def mask(self, flt: Filter | None) -> np.ndarray:
         """Boolean mask over rows [0, size) matching the filter.
 

@@ -110,8 +110,14 @@ class Gallery:
         self._dirty_hi = 0
         # Device filter masks keyed by canonical filter; cleared on writes.
         self._mask_cache: dict[Any, jax.Array] = {}
-        # Resolved-path fallback index for get_by_path (lazy).
+        # Resolved-path fallback index for get_by_path (lazy, maintained
+        # INCREMENTALLY across writes — see _patch_resolved). Pure string
+        # normalisation, no per-row filesystem syscalls: at 1M rows a
+        # rebuild under the service lock must not stall every request.
         self._resolved_paths: dict[str, int] | None = None
+        self._resolved_back: dict[int, str] = {}   # row -> indexed key
+        self._resolved_dirty: set[int] = set()     # rows to re-index
+        self._resolved_hi = 0                      # rows [0, hi) indexed
 
     # ------------------------------------------------------------ size
     def __len__(self) -> int:
@@ -172,6 +178,7 @@ class Gallery:
             ids = [ids[i] for i in order]
             vectors = vectors[order]
             pls = [pls[i] for i in order]
+        old_len = len(self._ids)
         rows = np.empty(len(ids), dtype=np.int64)
         for i, pid in enumerate(ids):
             row = self._id_to_row.get(pid)
@@ -182,7 +189,16 @@ class Gallery:
             rows[i] = row
         self._vectors[rows] = vectors
         self._payloads.set_rows(rows, pls)
-        self._mark_dirty(int(rows.min()), int(rows.max()) + 1)
+        # Only OVERWRITES of already-present rows enter the dirty range;
+        # the appended tail is tracked by _synced < n. Folding both into
+        # one covering span turned "rewrite id0 + append" into a
+        # full-gallery re-push (ADVICE r2).
+        existing = rows[rows < old_len]
+        if existing.size:
+            self._mark_dirty(int(existing.min()), int(existing.max()) + 1)
+        else:
+            self._mask_cache.clear()  # appends change the validity mask
+        self._patch_resolved(rows)
         return len(ids)
 
     def upsert_points(
@@ -262,24 +278,62 @@ class Gallery:
             vector=self._vectors[row].copy() if with_vectors else None,
         )
 
-    def _resolved_row(self, img_path: str) -> int | None:
-        """Resolved-path fallback index (lazy; invalidated on writes)."""
-        from pathlib import Path
+    @staticmethod
+    def _resolve_key(p: str) -> str:
+        """Pure-string path normalisation (absolutise + collapse ``.``/
+        ``..``/``//``) — covers the abs-vs-relative and ``./``-prefix
+        spelling differences between the embed and experiment runs
+        WITHOUT a filesystem syscall per row (symlink aliases are the one
+        case this won't unify; at 1M rows an os.stat per row under the
+        service lock stalled every concurrent request — ADVICE r2)."""
+        import os
 
+        return os.path.normpath(os.path.abspath(p))
+
+    def _index_resolved_rows(self, rows: Iterable[int]) -> None:
+        idx, back = self._resolved_paths, self._resolved_back
+        assert idx is not None
+        for r in rows:
+            old = back.pop(r, None)
+            if old is not None and idx.get(old) == r:
+                del idx[old]
+            p = self._payloads.path_of(r)
+            if not p:
+                continue
+            key = self._resolve_key(p)
+            if key not in idx:  # first row wins on duplicate paths
+                idx[key] = r
+                back[r] = key
+
+    def _patch_resolved(self, rows: np.ndarray) -> None:
+        """Record overwritten rows for incremental re-index (appends are
+        covered by the _resolved_hi watermark). Past a threshold a lazy
+        full rebuild is cheaper than patching row by row."""
         if self._resolved_paths is None:
-            idx: dict[str, int] = {}
-            for r in range(len(self._ids)):
-                p = self._payloads.get_row(r).img_path
-                if p:
-                    try:
-                        idx.setdefault(str(Path(p).resolve()), r)
-                    except OSError:
-                        continue
-            self._resolved_paths = idx
-        try:
-            return self._resolved_paths.get(str(Path(img_path).resolve()))
-        except OSError:
-            return None
+            return
+        self._resolved_dirty.update(
+            int(r) for r in rows if r < self._resolved_hi)
+        if len(self._resolved_dirty) > 65536:
+            self._resolved_paths = None
+            self._resolved_back = {}
+            self._resolved_dirty = set()
+            self._resolved_hi = 0
+
+    def _resolved_row(self, img_path: str) -> int | None:
+        """Resolved-path fallback index (lazy; patched incrementally)."""
+        n = len(self._ids)
+        if self._resolved_paths is None:
+            self._resolved_paths = {}
+            self._resolved_back = {}
+            self._resolved_dirty = set()
+            self._resolved_hi = 0
+        if self._resolved_dirty:
+            self._index_resolved_rows(sorted(self._resolved_dirty))
+            self._resolved_dirty.clear()
+        if self._resolved_hi < n:
+            self._index_resolved_rows(range(self._resolved_hi, n))
+            self._resolved_hi = n
+        return self._resolved_paths.get(self._resolve_key(img_path))
 
     def scroll(
         self,
@@ -362,7 +416,11 @@ class Gallery:
     _SYNC_CHUNK = 4096  # rows per incremental device update
 
     def _invalidate_mirrors(self) -> None:
+        # Compaction renumbers rows: the resolved-path index must rebuild.
         self._resolved_paths = None
+        self._resolved_back = {}
+        self._resolved_dirty = set()
+        self._resolved_hi = 0
         self._padded = 0
         self._dev_f32 = self._dev_bf16 = self._dev_int8 = None
         self._dev_int4 = None
@@ -371,9 +429,12 @@ class Gallery:
         self._mask_cache.clear()
 
     def _mark_dirty(self, lo: int, hi: int) -> None:
-        """Record a host-row write; mirrors patch the range at next sync."""
+        """Record a host-row write; mirrors patch the range at next sync.
+
+        Does NOT drop the resolved-path index — that is patched
+        incrementally via _patch_resolved (ADVICE r2: wholesale clears
+        made every write+miss-lookup interleave rebuild it O(N))."""
         self._mask_cache.clear()
-        self._resolved_paths = None
         if self._dirty_hi > self._dirty_lo:
             self._dirty_lo = min(self._dirty_lo, lo)
             self._dirty_hi = max(self._dirty_hi, hi)
@@ -423,17 +484,17 @@ class Gallery:
         if bf16 and self._dev_bf16 is None:
             self._dev_bf16 = _cast_bf16(self._dev_f32)
         # Incremental patch of whatever changed since the mirrors were
-        # built: the dirty overwrite range and/or the appended tail —
-        # NOT unconditionally to n (that turned a one-row overwrite into
-        # a full-gallery re-push; regression-tested).
-        ranges = []
-        if self._dirty_hi > self._dirty_lo:
-            ranges.append((self._dirty_lo, self._dirty_hi))
+        # built: the dirty overwrite range and the appended tail, patched
+        # as TWO DISJOINT ranges — collapsing them into one covering span
+        # turned "overwrite row 0 + append" back into a full-gallery
+        # re-push (ADVICE r2); and never unconditionally to n (that
+        # turned a one-row overwrite into the same; regression-tested).
+        lo = self._dirty_lo
+        hi = min(self._dirty_hi, self._synced)
+        if hi > lo:
+            self._patch_mirrors(lo, hi)
         if n > self._synced:
-            ranges.append((self._synced, n))
-        if ranges:
-            self._patch_mirrors(min(r[0] for r in ranges),
-                                max(r[1] for r in ranges))
+            self._patch_mirrors(self._synced, n)
         self._synced = n
         self._dirty_lo = self._dirty_hi = 0
 

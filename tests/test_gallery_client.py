@@ -217,3 +217,30 @@ def test_json_fallback_against_pre_binary_server(rng):
         assert hits[0][0].id == "o1" and hits[0][0].score > 0.999
     finally:
         srv.shutdown()
+
+
+def test_validation_400_is_not_retried_as_json(service, rng):
+    """A genuine validation 400 from a binary-capable server must surface
+    immediately — NOT trigger the JSON-fallback resend of the full
+    vector payload (ADVICE r2)."""
+    from unittest import mock
+
+    from retrieval_based_object_detection_tpu.gallery import client as C
+
+    store = RemoteVectorStore(service)
+    g = store.create_collection("val", dim=8)
+    vecs = rng.normal(size=(3, 8)).astype(np.float32)
+    pls = [Payload(data_type="original_images", class_name="x",
+                   img_path=f"/v/{i}.jpg") for i in range(2)]  # mismatch!
+    calls = {"n": 0}
+    real_urlopen = C.urllib.request.urlopen
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real_urlopen(*a, **kw)
+
+    with mock.patch.object(C.urllib.request, "urlopen", counting):
+        with pytest.raises(GalleryServiceError) as ei:
+            g.upsert(["a", "b", "c"], vecs, pls)
+    assert ei.value.status == 400
+    assert calls["n"] == 1, "validation 400 must not be resent as JSON"

@@ -207,3 +207,75 @@ def test_overwrite_patches_only_dirty_range(rng):
     hits = g.search(new0[0], k=1)[0]
     assert hits[0].id == "id0"
     assert patched == [(0, 1)], patched  # one dirty row, not (0, 2000)
+
+
+def test_overwrite_plus_append_patches_disjoint_ranges(rng):
+    """One upsert that rewrites row 0 AND appends must patch TWO disjoint
+    ranges — not the covering span (0, n), which would re-push the whole
+    gallery (ADVICE r2)."""
+    g = Gallery("oa", dim=16)
+    n = 2000
+    vecs = rng.normal(size=(n, 16)).astype(np.float32)
+    pls = [Payload(data_type="original_images", class_name="c",
+                   img_path=f"/{i}.png") for i in range(n)]
+    g.upsert([f"id{i}" for i in range(n)], vecs, pls)
+    probe = rng.normal(size=(16,)).astype(np.float32)
+    g.search(probe, k=1)  # build + sync mirrors
+
+    patched = []
+    orig = g._patch_mirrors
+    g._patch_mirrors = lambda lo, hi: (patched.append((lo, hi)),
+                                       orig(lo, hi))[1]
+    batch_v = rng.normal(size=(4, 16)).astype(np.float32)
+    batch_p = [Payload(data_type="original_images", class_name="c",
+                       img_path=p) for p in
+               ["/0.png", "/n0.png", "/n1.png", "/n2.png"]]
+    g.upsert(["id0", "new0", "new1", "new2"], batch_v, batch_p)
+    res = _top_ids(g, batch_v, k=1)
+    assert res == [["id0"], ["new0"], ["new1"], ["new2"]]
+    assert patched == [(0, 1), (n, n + 3)], patched
+
+
+def test_resolved_index_survives_writes_incrementally(rng, tmp_path):
+    """The resolved-path fallback index must be PATCHED across writes,
+    not dropped wholesale (ADVICE r2: write+miss-lookup interleave
+    rebuilt it O(N) with per-row syscalls every time)."""
+    import os
+
+    g = Gallery("ri", dim=8)
+    imgs = []
+    for i in range(20):
+        p = tmp_path / f"im{i}.png"
+        p.write_bytes(b"x")
+        imgs.append(str(p))
+    g.upsert([f"id{i}" for i in range(20)],
+             rng.normal(size=(20, 8)).astype(np.float32),
+             [Payload(data_type="original_images", class_name="c",
+                      img_path=imgs[i]) for i in range(20)])
+    # Miss-path lookup (relative spelling) builds the index.
+    rel = os.path.relpath(imgs[3])
+    assert g.get_by_path(rel).id == "id3"
+    idx_obj = g._resolved_paths
+    assert idx_obj is not None
+
+    # Overwrite id3's path + append a new point: the index object
+    # survives (incremental patch, not wholesale clear).
+    newp = tmp_path / "renamed.png"
+    newp.write_bytes(b"x")
+    g.upsert(["id3", "id20"],
+             rng.normal(size=(2, 8)).astype(np.float32),
+             [Payload(data_type="original_images", class_name="c",
+                      img_path=str(newp)),
+              Payload(data_type="original_images", class_name="c",
+                      img_path=str(tmp_path / "fresh.png"))])
+    assert g._resolved_paths is idx_obj
+    assert g.get_by_path(rel) is None  # old spelling no longer matches
+    assert g.get_by_path(os.path.relpath(str(newp))).id == "id3"
+    assert g.get_by_path("./" + os.path.relpath(
+        str(tmp_path / "fresh.png"))).id == "id20"
+    assert g._resolved_paths is idx_obj
+
+    # Delete compacts rows -> index must rebuild (rows renumbered).
+    g.delete(ids=["id0"])
+    assert g._resolved_paths is None
+    assert g.get_by_path(os.path.relpath(str(newp))).id == "id3"
