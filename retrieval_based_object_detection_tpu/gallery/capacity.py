@@ -95,6 +95,7 @@ class CapacitySearcher:
         if gallery.distance != "cosine":
             raise ValueError("capacity mode quantises unit-norm rows — "
                              "cosine collections only")
+        gallery.compact()  # dense live-row view (no-op if no tombstones)
         n = len(gallery)
         mask = (np.ones(n, bool) if flt is None
                 else gallery._payloads.mask(flt))

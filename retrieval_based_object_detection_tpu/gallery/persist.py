@@ -25,6 +25,7 @@ from retrieval_based_object_detection_tpu.gallery.store import Gallery, VectorSt
 def save_gallery(gallery: Gallery, root: str | Path) -> None:
     root = Path(root)
     root.mkdir(parents=True, exist_ok=True)
+    gallery.compact()  # snapshots are dense live-row views (no-op if clean)
     n = len(gallery)
     # Format 2: columnar payloads (base64 numpy buffers + decode tables)
     # — ~10× faster than per-row payload dicts at 6-figure row counts.

@@ -237,6 +237,14 @@ class PayloadColumns:
         (the resolved-path index build touches every row)."""
         return self._img_path[row] or ""
 
+    def clear_path(self, row: int) -> None:
+        """Drop one row's path (tombstoned rows must vanish from
+        exact-path lookup immediately, ahead of physical compaction)."""
+        p = self._img_path[row]
+        if p is not None and self._path_index.get(p) == row:
+            del self._path_index[p]
+        self._img_path[row] = None
+
     def mask(self, flt: Filter | None) -> np.ndarray:
         """Boolean mask over rows [0, size) matching the filter.
 

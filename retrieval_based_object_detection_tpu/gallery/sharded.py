@@ -234,6 +234,7 @@ class ShardedGallerySearcher:
     @classmethod
     def from_gallery(cls, gallery, mesh: Mesh, flt=None
                      ) -> "ShardedGallerySearcher":
+        gallery.compact()  # dense live-row view (no-op if no tombstones)
         n = len(gallery)
         vectors = gallery._vectors[:n]
         mask = gallery._payloads.mask(flt)

@@ -275,7 +275,13 @@ def test_resolved_index_survives_writes_incrementally(rng, tmp_path):
         str(tmp_path / "fresh.png"))).id == "id20"
     assert g._resolved_paths is idx_obj
 
-    # Delete compacts rows -> index must rebuild (rows renumbered).
+    # A small delete TOMBSTONES (no compaction): the index survives and
+    # the dead row's entry is removed in place.
     g.delete(ids=["id0"])
+    assert g._resolved_paths is idx_obj
+    assert g.get_by_path(os.path.relpath(imgs[0])) is None
+    assert g.get_by_path(os.path.relpath(str(newp))).id == "id3"
+    # Explicit compaction renumbers rows -> the index must rebuild.
+    assert g.compact() == 1
     assert g._resolved_paths is None
     assert g.get_by_path(os.path.relpath(str(newp))).id == "id3"
