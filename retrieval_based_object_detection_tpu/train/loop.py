@@ -38,6 +38,7 @@ class FitConfig:
     checkpoint_every: int = 100
     seed: int = 0
     compute_dtype: str = "bfloat16"
+    head: str = "linear"  # "linear" | "cosine" (see train.TrainConfig)
 
 
 def fit(
@@ -55,7 +56,8 @@ def fit(
 
     tcfg = T.TrainConfig(num_classes=len(classes),
                          learning_rate=cfg.learning_rate,
-                         compute_dtype=cfg.compute_dtype)
+                         compute_dtype=cfg.compute_dtype,
+                         head=cfg.head)
     state_params, opt_state = T.init_state(clip_config, tcfg,
                                            seed=cfg.seed, params=params)
     state_params, opt_state = T.place(state_params, opt_state, mesh)

@@ -196,8 +196,22 @@ def test_nearest_mode(populated, dataset, tmp_path):
     out = xp.run_experiments(gallery, cfg, write_outputs=False)
     assert len(out.rows) == 48
     assert all(r.predicted_class in CLASSES for r in out.rows)
-    # nearest-mode score must be >= the same-class score by definition.
-    same = xp.run_experiments(gallery, dataclasses_replace(cfg), write_outputs=False)
+    # nearest-mode score must be >= the same-class score by definition
+    # (argmax over all class delegates vs the own-class delegate).
+    same = xp.run_experiments(gallery, dataclasses_replace(cfg),
+                              write_outputs=False)
+    same_score = {(r.case, r.delegate_type, r.image_path):
+                  r.similarity_score for r in same.rows}
+    assert len(same.rows) == len(out.rows)
+    checked = 0
+    for r in out.rows:
+        key = (r.case, r.delegate_type, r.image_path)
+        assert r.similarity_score >= same_score[key] - 1e-6, key
+        # And when nearest picks the true class, scores must agree.
+        if r.predicted_class == r.true_class:
+            assert abs(r.similarity_score - same_score[key]) < 1e-6
+            checked += 1
+    assert checked > 0
 
 
 def dataclasses_replace(cfg):
