@@ -121,8 +121,9 @@ def render_product(rng, spec: dict, natural: bool, size: int = 64
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def write_trees(root: str | Path, n_gallery: int = 24, n_aug: int = 2,
-                n_test: int = 12, size: int = 64, seed: int = 0
+def write_trees(root: str | Path, n_gallery: int = 24, n_aug: int = 4,
+                n_test: int = 12, size: int = 64, seed: int = 0,
+                classes: list[str] | None = None
                 ) -> tuple[Path, Path]:
     """(gallery_root, test_root) product trees in the dataset_cropped
     directory contract (pre_a stage flags).
@@ -143,7 +144,9 @@ def write_trees(root: str | Path, n_gallery: int = 24, n_aug: int = 2,
     root = Path(root)
     g_root = root / "gallery" / "dataset_cropped"
     t_root = root / "test" / "dataset_cropped"
-    for cls, spec in CLASS_SPECS.items():
+    specs = {c: CLASS_SPECS[c] for c in classes} if classes \
+        else CLASS_SPECS
+    for cls, spec in specs.items():
         gd = g_root / "natural_images" / cls
         td = t_root / "natural_images" / cls
         for d in (gd, td):
@@ -206,9 +209,10 @@ def _classify(tower_params, clip_cfg, g_root: Path, t_root: Path,
     return acc
 
 
-def evaluate(tmp_dir: str | None = None, epochs: int = 30,
-             n_gallery: int = 24, n_aug: int = 2, n_test: int = 12,
-             seed: int = 0, batch_size: int = 32) -> dict:
+def evaluate(tmp_dir: str | None = None, epochs: int = 18,
+             n_gallery: int = 24, n_aug: int = 4, n_test: int = 12,
+             seed: int = 0, batch_size: int = 32,
+             classes: list[str] | None = None) -> dict:
     """→ {"trained": {dtype: top1}, "floor": {dtype: top1}, "train": m}."""
     import shutil
     import tempfile
@@ -225,7 +229,7 @@ def evaluate(tmp_dir: str | None = None, epochs: int = 30,
     try:
         g_root, t_root = write_trees(
             tmp, n_gallery=n_gallery, n_aug=n_aug, n_test=n_test,
-            size=clip_cfg.image_size, seed=seed)
+            size=clip_cfg.image_size, seed=seed, classes=classes)
         n_dev = len(jax.devices())
         # dp must divide the batch; fall back to fewer devices if not.
         dp_size = max(d for d in range(1, n_dev + 1)
@@ -251,7 +255,7 @@ def evaluate(tmp_dir: str | None = None, epochs: int = 30,
                           batch_size)
         return {"trained": trained, "floor": floor,
                 "train": train_metrics,
-                "n_test": n_test * len(CLASS_SPECS)}
+                "n_test": n_test * len(classes or CLASS_SPECS)}
     finally:
         if own_tmp:
             shutil.rmtree(tmp, ignore_errors=True)

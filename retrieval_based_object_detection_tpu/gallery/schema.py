@@ -304,6 +304,31 @@ class PayloadColumns:
             "img_path": [p or "" for p in self._img_path[:n]],
         }
 
+    def export_rows(self, rows: np.ndarray) -> dict:
+        """Columnar export of an ARBITRARY row subset, in the same
+        structure as ``export_columns`` (incremental delta snapshots
+        serialise only the rows changed since the last save)."""
+        import base64
+
+        rows = np.asarray(rows, np.int64)
+        return {
+            "coded": {
+                f: {
+                    "codes": base64.b64encode(
+                        np.ascontiguousarray(
+                            self._cols[f][rows]).tobytes()).decode("ascii"),
+                    "decode": self._decode[f],
+                }
+                for f in self._CODED
+            },
+            "bools": {
+                f: base64.b64encode(
+                    np.packbits(self._cols[f][rows])).decode("ascii")
+                for f in BOOL_FIELDS
+            },
+            "img_path": [self._img_path[r] or "" for r in rows],
+        }
+
     @classmethod
     def import_columns(cls, data: dict, n: int) -> "PayloadColumns":
         import base64

@@ -103,6 +103,19 @@ class Gallery:
         # mirror rebuild while writes were ~170 ms (VERDICT r2 weak #2).
         self._alive = np.ones(capacity, dtype=bool)
         self._n_dead = 0
+        # Monotonic write sequence: bumps on every mutation (upsert,
+        # delete, compact). Cheap staleness probe for long-lived
+        # consumers that snapshot derived state (e.g. the serving
+        # endpoint's delegate matrix — pipelines/serve.py hot-reload).
+        self._wseq = 0
+        # Incremental-snapshot tracking (persist.save_gallery): point
+        # ids written/deleted since the last save. Keyed by ID (stable
+        # across compaction), bounded by the full-save churn threshold.
+        self._snap_dirty: set[str] = set()
+        self._snap_deleted: set[str] = set()
+        self._snap_root: str | None = None  # root of the current base
+        self._snap_id: str | None = None    # base snapshot identity
+        self._snap_seq = 0                  # last delta sequence number
         # Device mirrors (lazy per tier, updated INCREMENTALLY after small
         # writes — see _sync_mirrors). All share one padded row count.
         self._padded = 0
@@ -149,6 +162,12 @@ class Gallery:
         if flt is None:
             return len(self)
         return int(self._mask_live(flt).sum())
+
+    @property
+    def write_seq(self) -> int:
+        """Monotonic mutation counter (upsert/delete/compact). Consumers
+        caching derived state compare this to detect staleness."""
+        return self._wseq
 
     # ------------------------------------------------------------ writes
     def _ensure_capacity(self, extra: int) -> None:
@@ -224,6 +243,9 @@ class Gallery:
         else:
             self._mask_cache.clear()  # appends change the validity mask
         self._patch_resolved(rows)
+        self._wseq += 1
+        self._snap_dirty.update(ids)
+        self._snap_deleted.difference_update(ids)  # re-added points
         return len(ids)
 
     def upsert_points(
@@ -272,6 +294,8 @@ class Gallery:
         for r in np.nonzero(drop)[0]:
             r = int(r)
             pid = self._ids[r]
+            self._snap_deleted.add(pid)
+            self._snap_dirty.discard(pid)
             if self._id_to_row.get(pid) == r:
                 del self._id_to_row[pid]
             self._payloads.clear_path(r)
@@ -280,6 +304,7 @@ class Gallery:
             if key is not None and idx is not None and idx.get(key) == r:
                 del idx[key]
         self._mask_cache.clear()  # validity changed; mirrors still good
+        self._wseq += 1
         if (self._n_dead >= self._COMPACT_DEAD_MIN
                 and self._n_dead >= self._COMPACT_DEAD_FRACTION * n):
             self.compact()
@@ -308,6 +333,7 @@ class Gallery:
         self._alive[:n] = True
         reclaimed = self._n_dead
         self._n_dead = 0
+        self._wseq += 1
         self._invalidate_mirrors()  # compaction reshuffles rows
         return reclaimed
 
