@@ -462,6 +462,29 @@ def bench_store_api(quick: bool) -> dict:
     return out
 
 
+def bench_retrieval_quality(quick: bool) -> dict:
+    """Trained-tower nearest-mode top-1 vs random-init floor on held-out
+    natural renders (the quality headline — benchmarks/retrieval_quality
+    module docstring has the full protocol). CPU-heavy: trains a tiny
+    tower; quick mode runs the 4-class gate config (~3 min)."""
+    from benchmarks import retrieval_quality as RQ
+
+    if quick:
+        return RQ.evaluate(epochs=12, n_gallery=16, n_aug=3, n_test=8,
+                           classes=["prod0", "prod1", "prod3", "prod6"])
+    return RQ.evaluate()
+
+
+def bench_segmentation_quality(quick: bool) -> dict:
+    """Center-point best-of-3 mask IoU, random-init floor vs fitted SAM
+    (train/sam_loop)."""
+    from benchmarks import segmentation_quality as SQ
+
+    if quick:
+        return SQ.evaluate(n_train=48, n_test=8, epochs=12)
+    return SQ.evaluate()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -469,7 +492,8 @@ def main() -> None:
     ap.add_argument("--only", nargs="*", default=None,
                     choices=["embed", "preprocess", "delegates", "serving",
                              "gallery", "scan", "scan_int4", "capacity_10m",
-                             "store_api", "ingest"])
+                             "store_api", "ingest", "retrieval_quality",
+                             "segmentation_quality"])
     args = ap.parse_args()
     if args.only is not None and not args.only:
         ap.error("--only given without bench names (omit the flag to run "
@@ -486,6 +510,8 @@ def main() -> None:
         "capacity_10m": bench_capacity_10m,
         "store_api": bench_store_api,
         "ingest": bench_ingest,
+        "retrieval_quality": bench_retrieval_quality,
+        "segmentation_quality": bench_segmentation_quality,
     }
     results = {}
     for name, fn in benches.items():

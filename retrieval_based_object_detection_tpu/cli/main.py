@@ -364,7 +364,32 @@ def _make_sam(args):
         checkpoint = str(ensure_checkpoint(
             args.sam_variant,
             getattr(args, "sam_cache_dir", None) or "model"))
-    if checkpoint:
+    if checkpoint and Path(checkpoint).is_dir():
+        # Converted (`rbod convert-weights`) or fine-tuned
+        # (`rbod fit-sam`) checkpoint dir: params + sam_config.json.
+        import json
+
+        from retrieval_based_object_detection_tpu.models.sam.decoder import (
+            DecoderConfig,
+        )
+        from retrieval_based_object_detection_tpu.models.sam.encoder import (
+            EncoderConfig,
+        )
+        from retrieval_based_object_detection_tpu.utils.checkpoint import (
+            load_params,
+        )
+
+        cfg_file = Path(checkpoint) / "sam_config.json"
+        if cfg_file.exists():
+            raw = json.loads(cfg_file.read_text())
+            enc = dict(raw["encoder"])
+            enc["global_attn_indexes"] = tuple(enc["global_attn_indexes"])
+            config = SM.SamConfig(encoder=EncoderConfig(**enc),
+                                  decoder=DecoderConfig(**raw["decoder"]))
+        else:
+            config = SM.SAM_TINY
+        params = load_params(Path(checkpoint) / "params")
+    elif checkpoint:
         from retrieval_based_object_detection_tpu.models.sam.convert import (
             load_torch_checkpoint,
         )
@@ -564,6 +589,9 @@ def cmd_convert_weights(args) -> int:
 
         params, config = load_torch_checkpoint(args.input)
         save_params(params, out / "params")
+        out.joinpath("sam_config.json").write_text(json.dumps({
+            "encoder": dataclasses.asdict(config.encoder),
+            "decoder": dataclasses.asdict(config.decoder)}))
         print(f"SAM config: {config}")
     print(f"converted {args.input} -> {out}")
     return 0
@@ -844,6 +872,53 @@ def cmd_finetune(args) -> int:
     print(f"finetune done: loss={float(metrics.get('loss', 0.0)):.4f} "
           f"acc={float(metrics.get('accuracy', 0.0)):.3f} "
           f"checkpoint={out} (mesh dp={dp} tp={tp})")
+    return 0
+
+
+def cmd_fit_sam(args) -> int:
+    """Fine-tune SAM on the segment stage's own RGBA outputs (images +
+    alpha-channel masks, 22_segment_image_auto.py:154-159): manually
+    reviewed segmentations become training pairs for the rest — the
+    self-training loop the reference's manual/auto split implies. Saves
+    a checkpoint dir loadable by `rbod segment --sam-checkpoint`."""
+    import dataclasses
+    import json
+
+    from retrieval_based_object_detection_tpu.models.sam import model as SM
+    from retrieval_based_object_detection_tpu.train.sam_loop import (
+        SamFitConfig,
+        fit_sam,
+        load_segmented_tree,
+    )
+    from retrieval_based_object_detection_tpu.utils.checkpoint import (
+        save_params,
+    )
+
+    if args.sam_checkpoint:
+        from retrieval_based_object_detection_tpu.models.sam.convert import (
+            load_torch_checkpoint,
+        )
+
+        init, config = load_torch_checkpoint(args.sam_checkpoint)
+    else:
+        config = SM.SAM_TINY
+        init = SM.init_params(config, seed=args.seed)
+    images, masks, points = load_segmented_tree(
+        args.root, args.type, size=config.img_size, classes=args.classes)
+    params, metrics = fit_sam(
+        config, images, masks, points,
+        cfg=SamFitConfig(epochs=args.epochs, batch_size=args.batch_size,
+                         learning_rate=args.lr, seed=args.seed),
+        params=init)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "sam_config.json").write_text(json.dumps({
+        "encoder": dataclasses.asdict(config.encoder),
+        "decoder": dataclasses.asdict(config.decoder)}))
+    save_params(params, out / "params")
+    print(f"sam fit done: {images.shape[0]} masks, "
+          f"best-token IoU={metrics.get('train_best_iou', 0.0):.3f} "
+          f"checkpoint={out}")
     return 0
 
 
@@ -1224,6 +1299,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--resume-dir",
                     help="orbax checkpoint dir for save/resume")
     sp.add_argument("--out", default="clip_finetuned")
+
+    sp = add("fit-sam", cmd_fit_sam,
+             help="fine-tune SAM on segmented RGBA outputs "
+                  "(images + alpha masks)")
+    sp.add_argument("--root", default="dataset_segmented")
+    sp.add_argument("--type", default="original")
+    sp.add_argument("--classes", nargs="*", default=None)
+    sp.add_argument("--epochs", type=int, default=20)
+    sp.add_argument("--batch-size", type=int, default=8)
+    sp.add_argument("--lr", type=float, default=3e-4)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--sam-checkpoint",
+                    help="official .pth to start from (default: tiny "
+                         "random init)")
+    sp.add_argument("--out", default="sam_finetuned")
 
     add("wizard", cmd_wizard,
         help="interactive stage picker (the reference's prompt-driven UX)")

@@ -15,9 +15,45 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC rbod_native.cc -o librbod_native.so
 
+#include <cerrno>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <fcntl.h>
+#include <unistd.h>
+
+// Bulk IO via raw syscalls in large chunks: stdio's fread measured ~2x
+// under the disk's sequential read speed on multi-GB snapshots.
+static bool write_all(int fd, const void* buf, size_t n) {
+  const char* p = (const char*)buf;
+  while (n > 0) {
+    size_t chunk = n > (size_t)(64 << 20) ? (size_t)(64 << 20) : n;
+    ssize_t w = ::write(fd, p, chunk);
+    if (w < 0) {
+      if (errno == EINTR) continue;
+      return false;
+    }
+    p += w;
+    n -= (size_t)w;
+  }
+  return true;
+}
+
+static bool read_all(int fd, void* buf, size_t n) {
+  char* p = (char*)buf;
+  while (n > 0) {
+    size_t chunk = n > (size_t)(64 << 20) ? (size_t)(64 << 20) : n;
+    ssize_t r = ::read(fd, p, chunk);
+    if (r < 0) {
+      if (errno == EINTR) continue;
+      return false;
+    }
+    if (r == 0) return false;  // truncated file
+    p += r;
+    n -= (size_t)r;
+  }
+  return true;
+}
 
 extern "C" {
 
@@ -71,22 +107,22 @@ static const uint32_t kVersion = 1;
 int snapshot_write(const char* path, const float* vectors, int64_t rows,
                    int64_t dim, const uint8_t* payload_blob,
                    int64_t payload_bytes) {
-  FILE* f = fopen(path, "wb");
-  if (!f) return 1;
+  int fd = ::open(path, O_WRONLY | O_CREAT | O_TRUNC, 0644);
+  if (fd < 0) return 1;
+  unsigned char header[32];
   uint64_t r = (uint64_t)rows, d = (uint64_t)dim, pb = (uint64_t)payload_bytes;
-  int ok = 1;
-  ok &= fwrite(&kMagic, 4, 1, f) == 1;
-  ok &= fwrite(&kVersion, 4, 1, f) == 1;
-  ok &= fwrite(&r, 8, 1, f) == 1;
-  ok &= fwrite(&d, 8, 1, f) == 1;
-  ok &= fwrite(&pb, 8, 1, f) == 1;
-  if (payload_bytes > 0) {
-    ok &= fwrite(payload_blob, 1, (size_t)payload_bytes, f) ==
-          (size_t)payload_bytes;
+  memcpy(header, &kMagic, 4);
+  memcpy(header + 4, &kVersion, 4);
+  memcpy(header + 8, &r, 8);
+  memcpy(header + 16, &d, 8);
+  memcpy(header + 24, &pb, 8);
+  bool ok = write_all(fd, header, sizeof(header));
+  if (ok && payload_bytes > 0) {
+    ok = write_all(fd, payload_blob, (size_t)payload_bytes);
   }
   size_t nf = (size_t)rows * (size_t)dim;
-  if (nf > 0) ok &= fwrite(vectors, sizeof(float), nf, f) == nf;
-  ok &= fclose(f) == 0;
+  if (ok && nf > 0) ok = write_all(fd, vectors, nf * sizeof(float));
+  if (::close(fd) != 0) ok = false;
   return ok ? 0 : 2;
 }
 
@@ -115,20 +151,22 @@ int snapshot_header(const char* path, int64_t* rows, int64_t* dim,
 int snapshot_read(const char* path, float* vectors, int64_t rows,
                   int64_t dim, uint8_t* payload_blob,
                   int64_t payload_bytes) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return 1;
-  if (fseek(f, 4 + 4 + 8 + 8 + 8, SEEK_SET) != 0) {
-    fclose(f);
+  int fd = ::open(path, O_RDONLY);
+  if (fd < 0) return 1;
+#ifdef POSIX_FADV_SEQUENTIAL
+  posix_fadvise(fd, 0, 0, POSIX_FADV_SEQUENTIAL);
+#endif
+  if (::lseek(fd, 4 + 4 + 8 + 8 + 8, SEEK_SET) < 0) {
+    ::close(fd);
     return 2;
   }
-  int ok = 1;
+  bool ok = true;
   if (payload_bytes > 0) {
-    ok &= fread(payload_blob, 1, (size_t)payload_bytes, f) ==
-          (size_t)payload_bytes;
+    ok = read_all(fd, payload_blob, (size_t)payload_bytes);
   }
   size_t nf = (size_t)rows * (size_t)dim;
-  if (nf > 0) ok &= fread(vectors, sizeof(float), nf, f) == nf;
-  fclose(f);
+  if (ok && nf > 0) ok = read_all(fd, vectors, nf * sizeof(float));
+  ::close(fd);
   return ok ? 0 : 3;
 }
 

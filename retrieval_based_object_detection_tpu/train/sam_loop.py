@@ -134,3 +134,48 @@ def fit_sam(
                 jnp.asarray(pts[sel]), jnp.asarray(labels[sel]),
                 jnp.asarray(gt[sel]))
     return params, {k: float(v) for k, v in metrics.items()}
+
+
+def load_segmented_tree(
+    root: str, img_type: str = "original", size: int = 128,
+    classes: list[str] | None = None, suffixes=(".png",),
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(images [N,S,S,3] u8, masks [N,S,S] bool, points [N,1,2]) from a
+    ``dataset_segmented``-style tree: the segment stage's own RGBA
+    outputs (22_segment_image_auto.py:154-159 — RGB content + mask in
+    the alpha channel) double as SAM training pairs, so a few manually
+    reviewed segmentations fine-tune the model for the rest (the
+    self-training loop the reference's manual/auto split implies).
+    Prompt = mask centroid (a robust stand-in for the user's click)."""
+    from PIL import Image
+
+    from retrieval_based_object_detection_tpu.utils import tree
+
+    imgs, masks, pts = [], [], []
+    for e in tree.walk(root, img_type, classes):
+        if e.path.suffix.lower() not in suffixes:
+            continue
+        try:
+            with Image.open(e.path) as im:
+                rgba = np.asarray(im.convert("RGBA"))
+        except Exception:
+            continue
+        a = rgba[..., 3] > 127
+        if not a.any():
+            continue
+        rgb = Image.fromarray(rgba[..., :3]).resize((size, size),
+                                                    Image.BILINEAR)
+        m = np.asarray(Image.fromarray(a.astype(np.uint8) * 255).resize(
+            (size, size), Image.NEAREST)) > 127
+        if not m.any():
+            continue
+        ys, xs = np.nonzero(m)
+        imgs.append(np.asarray(rgb, np.uint8))
+        masks.append(m)
+        pts.append([[float(xs.mean()), float(ys.mean())]])
+    if not imgs:
+        raise ValueError(
+            f"no usable RGBA masks under {root}/{img_type}_images — "
+            "run the segment stage (or point --data at dataset_segmented)")
+    return (np.stack(imgs), np.stack(masks),
+            np.asarray(pts, np.float32))

@@ -66,3 +66,40 @@ def test_fit_sam_lifts_mask_iou_above_floor():
         te_imgs, te_gts)
     assert fit_m["mean_iou"] > 0.5, (fit_m, floor_m)
     assert fit_m["mean_iou"] > floor_m["mean_iou"] + 0.2, (fit_m, floor_m)
+
+
+def test_fit_sam_cli_and_segment_roundtrip(tmp_path):
+    """rbod fit-sam on a dataset_segmented tree (RGBA alpha = mask) ->
+    checkpoint dir -> rbod segment loads it back (the self-training
+    loop: reviewed segmentations fine-tune the model for the rest)."""
+    from PIL import Image
+
+    from retrieval_based_object_detection_tpu.cli.main import main
+
+    rng = np.random.default_rng(3)
+    seg = tmp_path / "dataset_segmented" / "original_images" / "clsA"
+    seg.mkdir(parents=True)
+    for i in range(8):
+        img, m = make_masked_scene(rng, "studio", 64)
+        rgba = np.dstack([img, (m * 255).astype(np.uint8)])
+        Image.fromarray(rgba).save(seg / f"s{i}.png")
+
+    out = tmp_path / "sam_ft"
+    assert main(["fit-sam", "--root", str(tmp_path / "dataset_segmented"),
+                 "--epochs", "2", "--batch-size", "4",
+                 "--out", str(out)]) == 0
+    assert (out / "sam_config.json").exists()
+
+    src = tmp_path / "dataset_jpeg" / "original_images" / "clsA"
+    src.mkdir(parents=True)
+    for i in range(2):
+        img, _ = make_masked_scene(rng, "studio", 64)
+        Image.fromarray(img).save(src / f"j{i}.jpg")
+    dst = tmp_path / "dataset_segmented_out"
+    assert main(["segment", "--src", str(tmp_path / "dataset_jpeg"),
+                 "--dst", str(dst), "--type", "original",
+                 "--sam-checkpoint", str(out)]) == 0
+    outs = list((dst / "original_images" / "clsA").glob("*.png"))
+    assert len(outs) == 2
+    rgba = np.asarray(Image.open(outs[0]).convert("RGBA"))
+    assert rgba.shape[-1] == 4
