@@ -120,10 +120,26 @@ def save_gallery(gallery: Gallery, root: str | Path,
     gallery._snap_deleted.clear()
 
 
-def load_gallery(name: str, root: str | Path) -> Gallery:
+def load_gallery(name: str, root: str | Path,
+                 mmap_vectors: bool = False) -> Gallery:
+    """Load one collection. ``mmap_vectors=True`` maps the vector block
+    copy-on-write instead of reading it upfront: the load returns in
+    milliseconds whatever the size and pages fault in on first use (the
+    first mirror build, a scroll with vectors, the next save). On this
+    class of VM disk (~130 MB/s reads, page cache not retained) that
+    turns a 10M-row service restart from minutes of blocking read into
+    lazy background IO; upserts write private COW pages, so semantics
+    are identical to an eager load."""
     root = Path(root)
     rbod = root / f"{name}.rbod"
-    if rbod.exists():
+    if rbod.exists() and mmap_vectors:
+        rows, dim, pb = native.snapshot_header(rbod)
+        with open(rbod, "rb") as f:
+            f.seek(32)
+            meta = json.loads(f.read(pb).decode())
+        vectors = np.memmap(rbod, dtype=np.float32, mode="c",
+                            offset=32 + pb, shape=(rows, dim))
+    elif rbod.exists():
         vectors, blob = native.snapshot_read(rbod)
         meta = json.loads(blob.decode())
     else:  # legacy npz+json layout
@@ -214,7 +230,10 @@ def _gallery_from_columns(name: str, meta: dict,
     g = Gallery(name, dim=dim, capacity=1,
                 distance=meta.get("distance", "cosine"))
     if n >= 1024 and vectors.shape == (n, dim) and vectors.flags.writeable:
-        g._vectors = np.ascontiguousarray(vectors, np.float32)
+        if not (vectors.dtype == np.float32
+                and vectors.flags.c_contiguous):
+            vectors = np.ascontiguousarray(vectors, np.float32)
+        g._vectors = vectors  # adopted as-is (possibly a COW memmap)
         g._capacity = n
     else:  # small gallery (or legacy path): keep headroom, copy in
         g._capacity = max(1024, n)
@@ -256,7 +275,8 @@ def save_store(store: VectorStore, root: str | Path,
     os.replace(tmp, root / "manifest.json")
 
 
-def load_store(root: str | Path) -> VectorStore:
+def load_store(root: str | Path,
+               mmap_vectors: bool = False) -> VectorStore:
     root = Path(root)
     store = VectorStore()
     manifest = root / "manifest.json"
@@ -266,7 +286,8 @@ def load_store(root: str | Path) -> VectorStore:
         names = json.load(f)["collections"]
     for name in names:
         try:
-            store._collections[name] = load_gallery(name, root)
+            store._collections[name] = load_gallery(
+                name, root, mmap_vectors=mmap_vectors)
         except Exception as e:  # corrupt header/JSON/meta too
             # A manifest entry without its snapshot (crash between writes,
             # manual deletion): skip it rather than refuse the whole store.

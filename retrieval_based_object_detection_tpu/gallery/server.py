@@ -47,7 +47,7 @@ def _filter_from(body: dict) -> Filter | None:
 class GalleryService:
     """Lock-guarded operations over a persistent VectorStore."""
 
-    def __init__(self, root: str | Path):
+    def __init__(self, root: str | Path, mmap_vectors: bool = True):
         from retrieval_based_object_detection_tpu.gallery.persist import (
             load_store,
             save_store,
@@ -55,7 +55,11 @@ class GalleryService:
 
         self.root = Path(root)
         self._save = save_store
-        self.store: VectorStore = load_store(self.root)
+        # mmap by default: the service answers requests immediately after
+        # restart whatever the snapshot size; vector pages fault in on
+        # first use (persist.load_gallery docstring).
+        self.store: VectorStore = load_store(self.root,
+                                             mmap_vectors=mmap_vectors)
         self.lock = threading.RLock()
 
     def snapshot(self) -> dict:
@@ -282,12 +286,12 @@ def make_handler(svc: GalleryService):
     return Handler
 
 
-def serve(root: str | Path, host: str = "0.0.0.0", port: int = 6333
-          ) -> ThreadingHTTPServer:
+def serve(root: str | Path, host: str = "0.0.0.0", port: int = 6333,
+          mmap_vectors: bool = True) -> ThreadingHTTPServer:
     """Start the gallery service (port 6333 mirrors Qdrant's). Returns the
     server; the caller runs serve_forever and calls service.snapshot() on
     shutdown."""
-    svc = GalleryService(root)
+    svc = GalleryService(root, mmap_vectors=mmap_vectors)
     server = ThreadingHTTPServer((host, port), make_handler(svc))
     server.service = svc
     return server

@@ -236,3 +236,53 @@ def test_delta_of_stale_base_is_ignored(rng, tmp_path):
     loaded = persist.load_store(tmp_path).get("st")
     assert loaded.retrieve(["x2"]) == []  # stale delta ignored
     assert len(loaded) == 50
+
+
+def test_mmap_load_parity_and_writes(rng, tmp_path):
+    """mmap_vectors=True loads lazily (COW pages) with identical
+    semantics: search parity, writable upserts, delta re-save."""
+    store = VectorStore()
+    g = store.create_collection("mm", dim=16)
+    n = 2000  # >1024 so the loader ADOPTS the mapped buffer
+    ids, vecs, pls = _mk(rng, n)
+    g.upsert(ids, vecs, pls)
+    persist.save_store(store, tmp_path)
+
+    eager = persist.load_store(tmp_path).get("mm")
+    lazy_store = persist.load_store(tmp_path, mmap_vectors=True)
+    lazy = lazy_store.get("mm")
+    assert isinstance(lazy._vectors, np.memmap)
+    q = vecs[17] / np.linalg.norm(vecs[17])
+    he = [(r.id, round(r.score, 5)) for r in eager.search(q, k=5)[0]]
+    hl = [(r.id, round(r.score, 5)) for r in lazy.search(q, k=5)[0]]
+    assert he == hl
+
+    # Writes hit private COW pages — the snapshot file must NOT change.
+    before = (tmp_path / "mm.rbod").read_bytes()
+    new = rng.normal(size=(1, 16)).astype(np.float32)
+    lazy.upsert(["id17"], new, [pls[17]])
+    np.testing.assert_allclose(lazy.retrieve(["id17"])[0].vector, new[0])
+    assert (tmp_path / "mm.rbod").read_bytes() == before
+    # Fresh eager load still sees the ORIGINAL vector (no delta saved yet).
+    np.testing.assert_allclose(
+        persist.load_store(tmp_path).get("mm").retrieve(["id17"])[0].vector,
+        vecs[17])
+    # Delta re-save from the mmap-backed gallery round-trips.
+    persist.save_store(lazy_store, tmp_path)
+    assert (tmp_path / "mm.rbod.d1").exists()
+    np.testing.assert_allclose(
+        persist.load_store(tmp_path).get("mm").retrieve(["id17"])[0].vector,
+        new[0])
+
+
+def test_gallery_server_mmap_loads(rng, tmp_path):
+    from retrieval_based_object_detection_tpu.gallery import server as srv
+
+    store = VectorStore()
+    g = store.create_collection("svc", dim=16)
+    ids, vecs, pls = _mk(rng, 1500)
+    g.upsert(ids, vecs, pls)
+    persist.save_store(store, tmp_path)
+    svc = srv.GalleryService(tmp_path)
+    assert isinstance(svc.store.get("svc")._vectors, np.memmap)
+    assert len(svc.store.get("svc")) == 1500
