@@ -186,7 +186,6 @@ def _classify(tower_params, clip_cfg, g_root: Path, t_root: Path,
 
     gallery = Gallery("rq", dim=clip_cfg.embed_dim)
     enc = em.make_encoder(tower_params, clip_cfg)
-    ecfg = dataclasses.replace  # brevity
     em.embed_tree(gallery, enc, em.EmbedConfig(
         root_dir=str(g_root), img_type="natural",
         batch_size=batch_size, image_size=clip_cfg.image_size))
@@ -210,9 +209,13 @@ def _classify(tower_params, clip_cfg, g_root: Path, t_root: Path,
 
 
 def evaluate(tmp_dir: str | None = None, epochs: int = 18,
-             n_gallery: int = 24, n_aug: int = 4, n_test: int = 12,
+             n_gallery: int = 24, n_aug: int = 6, n_test: int = 12,
              seed: int = 0, batch_size: int = 32,
              classes: list[str] | None = None) -> dict:
+    """Defaults are the headline configuration: trained top-1
+    0.84-0.85 per delegate type vs 0.11-0.21 floor (n_aug sweep:
+    2→0.72, 4→0.79, 6→0.85 — training-domain diversity is the binding
+    constraint, measured in DESIGN.md 'Round-3 ledger')."""
     """→ {"trained": {dtype: top1}, "floor": {dtype: top1}, "train": m}."""
     import shutil
     import tempfile

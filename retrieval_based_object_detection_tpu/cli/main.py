@@ -380,14 +380,18 @@ def _make_sam(args):
         )
 
         cfg_file = Path(checkpoint) / "sam_config.json"
-        if cfg_file.exists():
-            raw = json.loads(cfg_file.read_text())
-            enc = dict(raw["encoder"])
-            enc["global_attn_indexes"] = tuple(enc["global_attn_indexes"])
-            config = SM.SamConfig(encoder=EncoderConfig(**enc),
-                                  decoder=DecoderConfig(**raw["decoder"]))
-        else:
-            config = SM.SAM_TINY
+        if not cfg_file.exists():
+            # Guessing a config against stored params yields deep shape
+            # errors (or silently wrong masks) — fail actionably.
+            raise SystemExit(
+                f"error: {checkpoint} has no sam_config.json — re-run "
+                f"`rbod convert-weights --model sam` (current versions "
+                f"write it) or pass the original .pth directly")
+        raw = json.loads(cfg_file.read_text())
+        enc = dict(raw["encoder"])
+        enc["global_attn_indexes"] = tuple(enc["global_attn_indexes"])
+        config = SM.SamConfig(encoder=EncoderConfig(**enc),
+                              decoder=DecoderConfig(**raw["decoder"]))
         params = load_params(Path(checkpoint) / "params")
     elif checkpoint:
         from retrieval_based_object_detection_tpu.models.sam.convert import (

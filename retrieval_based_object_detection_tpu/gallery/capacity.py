@@ -133,8 +133,13 @@ class CapacitySearcher:
         obj.dim = int(bf16.shape[1])
         obj._padded = int(bf16.shape[0])
         obj.dev_bf16, obj.dev_packed, obj.dev_scales = bf16, packed, scales
-        obj._host_mask = np.array(mask, dtype=bool)
-        obj.dev_mask = jnp.asarray(obj._host_mask)
+        # Pad a rows-length mask to the plane row count (the kernels and
+        # the tile patcher both index by padded rows).
+        host_mask = np.zeros(obj._padded, dtype=bool)
+        m = np.asarray(mask, dtype=bool)
+        host_mask[: len(m)] = m[: obj._padded]
+        obj._host_mask = host_mask
+        obj.dev_mask = jnp.asarray(host_mask)
         obj.ids = ids
         obj._id_to_row = None
         return obj
@@ -248,6 +253,16 @@ class CapacitySearcher:
         if len(ids) != vectors.shape[0]:
             raise ValueError("ids/vectors length mismatch")
         id_map = self._ensure_id_map()
+        # Capacity pre-check BEFORE mutating the id map: a mid-write
+        # ValueError must not leave phantom ids mapped to unwritten rows
+        # (review finding: later appends would then collide on the same
+        # row and searches would report the wrong point id).
+        n_new = len({pid for pid in ids if pid not in id_map})
+        if self.n_rows + n_new > self._padded:
+            raise ValueError(
+                f"{n_new} new ids exceed capacity "
+                f"({self.capacity_left()} rows left of {self._padded}); "
+                "rebuild the view (or build with headroom=)")
         rows = np.empty(len(ids), np.int64)
         next_row = self.n_rows
         for i, pid in enumerate(ids):
@@ -269,15 +284,26 @@ class CapacitySearcher:
         return len(ids)
 
     def delete(self, ids) -> int:
-        """Tombstone rows by id via the mask — the planes stay put."""
+        """Tombstone rows by id via the mask — the planes stay put.
+        Mask tiles are pushed ONCE for the whole batch (per-id pushes
+        cost a tunnel round trip each; 1k deletes would be ~30 s of
+        pure dispatch overhead at the scale this class serves)."""
         id_map = self._ensure_id_map()
-        removed = 0
+        rows = []
         for pid in ids:
             row = id_map.get(pid)
             if row is not None and self._host_mask[row]:
-                self._set_mask_range(row, row + 1, False)
-                removed += 1
-        return removed
+                self._host_mask[row] = False
+                rows.append(row)
+        if rows:
+            tile = self._tile
+            mask = self.dev_mask
+            for ts in sorted({(r // tile) * tile for r in rows}):
+                mask = _patch_mask_tile(
+                    mask, jnp.asarray(self._host_mask[ts: ts + tile]),
+                    jnp.int32(ts))
+            self.dev_mask = mask
+        return len(rows)
 
     def search(self, queries: np.ndarray, k: int = 10,
                rescore: int = 256,

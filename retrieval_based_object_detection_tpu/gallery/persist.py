@@ -176,6 +176,7 @@ def _apply_deltas(g: Gallery, snap_id: str | None,
     deltas = _delta_paths(g.name, root)
     expected = 1
     applied = 0
+    broken = False
     for seq, path in deltas:
         try:
             vectors, blob = native.snapshot_read(path)
@@ -185,6 +186,7 @@ def _apply_deltas(g: Gallery, snap_id: str | None,
 
             print(f"[gallery] WARNING: skipping unreadable delta "
                   f"{path.name}: {e}", file=sys.stderr)
+            broken = True
             break
         if (not meta.get("delta") or meta.get("base_id") != snap_id
                 or seq != expected):
@@ -195,6 +197,7 @@ def _apply_deltas(g: Gallery, snap_id: str | None,
             print(f"[gallery] WARNING: delta chain gap at {path.name} "
                   f"(expected seq {expected}) — later deltas ignored",
                   file=sys.stderr)
+            broken = True
             break
         ids = meta["ids"]
         if ids:
@@ -205,6 +208,21 @@ def _apply_deltas(g: Gallery, snap_id: str | None,
             g.delete(ids=meta["deleted"])
         expected = seq + 1
         applied = seq
+    if broken:
+        # Remove the unusable tail NOW: leaving same-base deltas with
+        # seq > applied on disk lets a LATER save reuse those sequence
+        # numbers, and the next load would replay the stale files over
+        # newer data (silent corruption — review finding r3). The tail
+        # is beyond a broken link, so it is unrecoverable by design.
+        for seq, path in deltas:
+            if seq > applied:
+                try:
+                    path.unlink(missing_ok=True)
+                except OSError:
+                    # Read-only root: poison the chain instead so the
+                    # next save rewrites the base and collapses it.
+                    snap_id = None
+                    break
     # Continue the chain from the last applied delta on future saves.
     g._snap_root = str(root)
     g._snap_id = snap_id

@@ -137,6 +137,10 @@ class Gallery:
         # rebuild under the service lock must not stall every request.
         self._resolved_paths: dict[str, int] | None = None
         self._resolved_back: dict[int, str] = {}   # row -> indexed key
+        # Rows whose key lost to an earlier row (duplicate resolved
+        # paths): promoted into the index when the winner is
+        # deleted/overwritten, so a live duplicate stays findable.
+        self._resolved_dups: dict[str, list[int]] = {}
         self._resolved_dirty: set[int] = set()     # rows to re-index
         self._resolved_hi = 0                      # rows [0, hi) indexed
 
@@ -290,7 +294,7 @@ class Gallery:
         removed = int(drop.sum())
         self._alive[:n][drop] = False
         self._n_dead += removed
-        idx, back = self._resolved_paths, self._resolved_back
+        back = self._resolved_back
         for r in np.nonzero(drop)[0]:
             r = int(r)
             pid = self._ids[r]
@@ -301,8 +305,8 @@ class Gallery:
             self._payloads.clear_path(r)
             self._resolved_dirty.discard(r)
             key = back.pop(r, None)
-            if key is not None and idx is not None and idx.get(key) == r:
-                del idx[key]
+            if key is not None:
+                self._resolved_remove(r, key)
         self._mask_cache.clear()  # validity changed; mirrors still good
         self._wseq += 1
         if (self._n_dead >= self._COMPACT_DEAD_MIN
@@ -386,13 +390,40 @@ class Gallery:
 
         return os.path.normpath(os.path.abspath(p))
 
+    def _resolved_remove(self, r: int, key: str) -> None:
+        """Detach row ``r`` from ``key``; if it was the index winner,
+        promote the next LIVE duplicate so a shared resolved path stays
+        findable after its first row is deleted/overwritten."""
+        idx, dups = self._resolved_paths, self._resolved_dups
+        if idx is None:
+            return
+        if idx.get(key) == r:
+            del idx[key]
+            lst = dups.get(key)
+            while lst:
+                cand = lst.pop(0)
+                if self._alive[cand]:
+                    idx[key] = cand
+                    break
+            if lst is not None and not lst:
+                dups.pop(key, None)
+        else:
+            lst = dups.get(key)
+            if lst is not None:
+                try:
+                    lst.remove(r)
+                except ValueError:
+                    pass
+                if not lst:
+                    dups.pop(key, None)
+
     def _index_resolved_rows(self, rows: Iterable[int]) -> None:
         idx, back = self._resolved_paths, self._resolved_back
         assert idx is not None
         for r in rows:
             old = back.pop(r, None)
-            if old is not None and idx.get(old) == r:
-                del idx[old]
+            if old is not None:
+                self._resolved_remove(r, old)
             if not self._alive[r]:
                 continue
             p = self._payloads.path_of(r)
@@ -401,7 +432,9 @@ class Gallery:
             key = self._resolve_key(p)
             if key not in idx:  # first row wins on duplicate paths
                 idx[key] = r
-                back[r] = key
+            else:
+                self._resolved_dups.setdefault(key, []).append(r)
+            back[r] = key
 
     def _patch_resolved(self, rows: np.ndarray) -> None:
         """Record overwritten rows for incremental re-index (appends are
@@ -414,6 +447,7 @@ class Gallery:
         if len(self._resolved_dirty) > 65536:
             self._resolved_paths = None
             self._resolved_back = {}
+            self._resolved_dups = {}
             self._resolved_dirty = set()
             self._resolved_hi = 0
 
@@ -423,6 +457,7 @@ class Gallery:
         if self._resolved_paths is None:
             self._resolved_paths = {}
             self._resolved_back = {}
+            self._resolved_dups = {}
             self._resolved_dirty = set()
             self._resolved_hi = 0
         if self._resolved_dirty:
@@ -517,6 +552,7 @@ class Gallery:
         # Compaction renumbers rows: the resolved-path index must rebuild.
         self._resolved_paths = None
         self._resolved_back = {}
+        self._resolved_dups = {}
         self._resolved_dirty = set()
         self._resolved_hi = 0
         self._padded = 0

@@ -170,7 +170,13 @@ class RetrievalDetector:
                         f"no delegates for {self.case}/"
                         f"{self.delegate_type}/{self.data_type} — run "
                         f"the delegates stage first")
-                return len(self._snap[0])  # keep serving the old snapshot
+                # Keep serving the old snapshot, but RECORD the observed
+                # write_seq: without it every detect during a
+                # wipe-then-rewrite window re-ran the O(N) delegate
+                # scroll (the rewrite bumps the seq again, so freshness
+                # is preserved — review finding).
+                self._snap = (self._snap[0], self._snap[1], seq)
+                return len(self._snap[0])
             classes = [r.payload.class_name for r in recs]
             self._snap = (classes,
                           jnp.asarray(np.stack([r.vector for r in recs])),

@@ -123,7 +123,10 @@ def fit_sam(
         return optax.apply_updates(params, updates), opt_state, metrics
 
     rng = np.random.default_rng(cfg.seed)
-    B = cfg.batch_size
+    # Clamp to the dataset: the advertised use case is fine-tuning on a
+    # FEW reviewed masks — n < batch_size must train on what exists, not
+    # silently run zero steps and report success (review finding).
+    B = min(cfg.batch_size, n)
     metrics: dict = {}
     for _ in range(cfg.epochs):
         order = rng.permutation(n)

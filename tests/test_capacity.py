@@ -189,3 +189,53 @@ def test_scattered_id_upsert_groups_runs(rng):
     for vec, r in zip(new, rows):
         _, idx = s.search(vec, k=1)
         assert idx[0, 0] == r
+
+
+def test_upsert_overflow_leaves_id_map_clean(rng):
+    """A capacity-overflow upsert must raise BEFORE registering ids —
+    phantom mappings made later appends collide on the same row
+    (review finding)."""
+    n = 256
+    s = CapacitySearcher(_vectors(rng, n), np.ones(n, bool), chunk=256,
+                         ids=[f"p{i}" for i in range(n)])
+    left = s.capacity_left()
+    with pytest.raises(ValueError, match="exceed capacity"):
+        s.upsert([f"x{i}" for i in range(left + 3)],
+                 _vectors(rng, left + 3))
+    assert len(s.ids) == n and s.n_rows == n  # nothing registered
+    if left:
+        v = _vectors(rng, 1)
+        s.upsert(["q0"], v)
+        _, idx = s.search(v[0], k=1)
+        assert s.ids_of(idx)[0][0] == "q0"
+
+
+def test_from_device_planes_pads_short_mask(rng):
+    import jax.numpy as jnp
+
+    n, pad, d = 300, 512, DIM
+    base = CapacitySearcher(_vectors(rng, n), np.ones(n, bool), chunk=512)
+    assert base._padded == pad
+    view = CapacitySearcher.from_device_planes(
+        base.dev_bf16, base.dev_packed, base.dev_scales,
+        np.ones(n, bool), n)  # rows-length mask, padded planes
+    assert view.dev_mask.shape == (pad,)
+    q = _vectors(rng, 2)
+    sa, ia = base.search(q, k=5)
+    sb, ib = view.search(q, k=5)
+    np.testing.assert_array_equal(ia, ib)
+
+
+def test_batched_delete_single_tile_pass(rng):
+    n = 600
+    vecs = _vectors(rng, n)
+    s = CapacitySearcher(vecs, np.ones(n, bool), chunk=256,
+                         ids=[f"p{i}" for i in range(n)])
+    vdel = [f"p{i}" for i in range(0, 60, 2)]
+    assert s.delete(vdel) == 30
+    assert s.delete(vdel) == 0  # idempotent
+    # A deleted point's own vector no longer finds it; a live one does.
+    _, idx = s.search(vecs[2], k=1)
+    assert s.ids_of(idx)[0][0] != "p2"
+    _, idx = s.search(vecs[3], k=1)
+    assert s.ids_of(idx)[0][0] == "p3"

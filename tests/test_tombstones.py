@@ -286,3 +286,78 @@ def test_gallery_server_mmap_loads(rng, tmp_path):
     svc = srv.GalleryService(tmp_path)
     assert isinstance(svc.store.get("svc")._vectors, np.memmap)
     assert len(svc.store.get("svc")) == 1500
+
+
+def test_broken_delta_tail_is_pruned_not_replayed_later(rng, tmp_path):
+    """A torn delta must not leave same-base tail deltas that a LATER
+    save's reused sequence numbers would resurrect (review finding)."""
+    store = VectorStore()
+    g = store.create_collection("torn", dim=16)
+    ids, vecs, pls = _mk(rng, 60)
+    g.upsert(ids, vecs, pls)
+    persist.save_store(store, tmp_path)
+    for i, val in enumerate([1.0, 2.0, 3.0]):
+        g.upsert(["id0"], np.full((1, 16), val, np.float32), [pls[0]])
+        persist.save_store(store, tmp_path)
+        assert (tmp_path / f"torn.rbod.d{i + 1}").exists()
+    # Tear d2: replay stops after d1 and must PRUNE d2+d3.
+    (tmp_path / "torn.rbod.d2").write_bytes(b"torn")
+    s2 = persist.load_store(tmp_path)
+    g2 = s2.get("torn")
+    np.testing.assert_allclose(g2.retrieve(["id0"])[0].vector,
+                               np.full(16, 1.0))
+    assert not (tmp_path / "torn.rbod.d2").exists()
+    assert not (tmp_path / "torn.rbod.d3").exists()
+    # New save continues from seq 1 -> d2; reload sees the NEW value.
+    g2.upsert(["id0"], np.full((1, 16), 7.0, np.float32), [pls[0]])
+    persist.save_store(s2, tmp_path)
+    assert (tmp_path / "torn.rbod.d2").exists()
+    g3 = persist.load_store(tmp_path).get("torn")
+    np.testing.assert_allclose(g3.retrieve(["id0"])[0].vector,
+                               np.full(16, 7.0))
+
+
+def test_resolved_duplicate_path_promotes_on_delete(rng, tmp_path):
+    """Two live rows sharing one resolved path: deleting the index
+    winner must promote the duplicate, not orphan the path (review
+    finding — the old rebuild-on-write index found it)."""
+    import os
+
+    img = tmp_path / "shared.png"
+    img.write_bytes(b"x")
+    rel = os.path.relpath(str(img))
+    g = Gallery("dups", dim=8)
+    g.upsert(["a", "b"], rng.normal(size=(2, 8)).astype(np.float32),
+             [Payload(data_type="original_images", class_name="c",
+                      img_path="./" + rel),
+              Payload(data_type="original_images", class_name="c",
+                      img_path=rel)])
+    # Distinct exact spellings -> both resolve to the same key; a
+    # miss-spelling lookup builds the index ('a' wins).
+    probe = str(img) + ""  # absolute spelling, exact-miss for both
+    assert g.get_by_path(probe).id == "a"
+    g.delete(ids=["a"])
+    rec = g.get_by_path(probe)
+    assert rec is not None and rec.id == "b"
+    g.delete(ids=["b"])
+    assert g.get_by_path(probe) is None
+
+
+def test_resolved_duplicate_promotes_on_overwrite(rng, tmp_path):
+    import os
+
+    img = tmp_path / "s2.png"
+    img.write_bytes(b"x")
+    rel = os.path.relpath(str(img))
+    g = Gallery("dups2", dim=8)
+    g.upsert(["a", "b"], rng.normal(size=(2, 8)).astype(np.float32),
+             [Payload(data_type="original_images", class_name="c",
+                      img_path="./" + rel),
+              Payload(data_type="original_images", class_name="c",
+                      img_path=rel)])
+    assert g.get_by_path(str(img)).id == "a"
+    # Overwrite 'a' with a DIFFERENT path: 'b' must take over the key.
+    g.upsert(["a"], rng.normal(size=(1, 8)).astype(np.float32),
+             [Payload(data_type="original_images", class_name="c",
+                      img_path="/elsewhere.png")])
+    assert g.get_by_path(str(img)).id == "b"
