@@ -32,6 +32,29 @@ def _and_masks(a: jax.Array, b: jax.Array) -> jax.Array:
     return a & b
 
 
+# Write-path kernels (module-level: one compile per dtype/shape, shared
+# by all views — defining them per call would recompile every patch).
+@partial(jax.jit, donate_argnums=(0,))
+def _dus_rows(buf: jax.Array, upd: jax.Array, start) -> jax.Array:
+    return jax.lax.dynamic_update_slice(
+        buf, upd.astype(buf.dtype), (start, 0))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _dus_1d(buf: jax.Array, upd: jax.Array, start) -> jax.Array:
+    return jax.lax.dynamic_update_slice(
+        buf, upd.astype(buf.dtype), (start,))
+
+
+_WRITE_TILE = 256
+
+
+@jax.jit
+def _read_rows(buf: jax.Array, start) -> jax.Array:
+    return jax.lax.dynamic_slice(
+        buf, (start, 0), (_WRITE_TILE, buf.shape[1])).astype(jnp.float32)
+
+
 def shard_rows(n_rows: int, n_shards: int) -> int:
     """Padded per-shard row count. Lane-aligned (256) when small; at
     scan scale padded to the Pallas TILE_ROWS multiple so the int8/int4
@@ -239,6 +262,81 @@ class ShardedGallerySearcher:
         vectors = gallery._vectors[:n]
         mask = gallery._payloads.mask(flt)
         return cls(vectors, mask, mesh)
+
+    # ------------------------------------------------------------ writes
+    # Incremental writes, mirroring CapacitySearcher's tile patching:
+    # fixed [TILE, D] updates via donated dynamic_update_slice on the
+    # SHARDED buffers (GSPMD lowers a global-row DUS to the owning
+    # shard), partial edge tiles read back-overlay-re-push. Every built
+    # mirror (f32/bf16 rows, int8, int4 planes) and the mask patch in
+    # lockstep, so a small upsert at pod scale never rebuilds the view.
+    _TILE = _WRITE_TILE
+
+    def capacity_left(self) -> int:
+        return self.dev_vectors.shape[0] - self.n_rows
+
+    def upsert_rows(self, start: int, vectors: np.ndarray,
+                    valid: bool = True) -> None:
+        """Overwrite/append rows [start, start+m); appends must stay
+        within the build-time padded row count (shards × per-shard)."""
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim == 1:
+            vectors = vectors[None]
+        m = vectors.shape[0]
+        if start < 0 or start > self.n_rows:
+            raise ValueError(
+                f"start {start} outside [0, {self.n_rows}] — sharded "
+                "writes are overwrites or contiguous appends")
+        end = start + m
+        total = self.dev_vectors.shape[0]
+        if end > total:
+            raise ValueError(
+                f"write to row {end} exceeds padded capacity {total}; "
+                "rebuild the view over a bigger mesh/row count")
+        rows = vectors / np.maximum(
+            np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
+        tile = self._TILE
+        for ts in range((start // tile) * tile, end, tile):
+            te = ts + tile
+            if ts >= start and te <= end:
+                staged = rows[ts - start: te - start]
+            else:
+                staged = np.array(_read_rows(self.dev_vectors,
+                                             jnp.int32(ts)))
+                lo, hi = max(start, ts), min(end, te)
+                staged[lo - ts: hi - ts] = rows[lo - start: hi - start]
+            self._patch_write_tile(jnp.asarray(staged), ts, valid)
+        self.n_rows = max(self.n_rows, end)
+
+    def _patch_write_tile(self, staged: jax.Array, ts: int,
+                          valid: bool) -> None:
+        start = jnp.int32(ts)
+        self.dev_vectors = _dus_rows(self.dev_vectors, staged, start)
+        if self._dev_int8 is not None:
+            self._dev_int8 = _dus_rows(
+                self._dev_int8,
+                jax.jit(search_lib.quantize_rows_int8)(staged), start)
+        if self._dev_int4 is not None:
+            packed, scales = self._dev_int4
+            p, s = jax.jit(search_lib.pack_rows_int4)(staged)
+            self._dev_int4 = (_dus_rows(packed, p, start),
+                              _dus_1d(scales, s, start))
+        mrows = jnp.full((staged.shape[0],), bool(valid))
+        self.dev_mask = _dus_1d(self.dev_mask, mrows, start)
+
+    def delete_rows(self, rows: "np.ndarray | list[int]") -> int:
+        """Tombstone rows via the sharded mask (planes stay put)."""
+        rows = [int(r) for r in np.atleast_1d(np.asarray(rows))
+                if 0 <= int(r) < self.n_rows]
+        if not rows:
+            return 0
+        host = np.array(self.dev_mask)  # S*R bools — tiny
+        changed = [r for r in rows if host[r]]
+        host[changed] = False
+        if changed:
+            self.dev_mask = jax.device_put(
+                host, NamedSharding(self.mesh, P(AXIS)))
+        return len(changed)
 
     def search(self, queries: np.ndarray, k: int = 10, exact: bool = True,
                method: str | None = None,
