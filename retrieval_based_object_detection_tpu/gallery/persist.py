@@ -261,7 +261,7 @@ def _gallery_from_columns(name: str, meta: dict,
     # matching tombstone mask (delta replay may delete immediately).
     g._alive = np.ones(g._capacity, dtype=bool)
     g._ids = list(ids)
-    g._id_to_row = {pid: i for i, pid in enumerate(ids)}
+    g._id_to_row = dict(zip(ids, range(n)))  # C-speed build (profiled)
     cols = PayloadColumns.import_columns(meta["columns"], n)
     cols.grow(g._capacity)  # no-op when capacities already match
     g._payloads = cols
