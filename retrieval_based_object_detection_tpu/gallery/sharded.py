@@ -216,10 +216,12 @@ class ShardedGallerySearcher:
     """
 
     def __init__(self, vectors: np.ndarray, mask: np.ndarray, mesh: Mesh,
-                 capacity: bool = False):
+                 capacity: bool = False,
+                 ids: list[str] | None = None):
         self.mesh = mesh
         self.n_rows = vectors.shape[0]
         self.capacity = capacity
+        self.ids = ids  # optional row -> point-id mapping (from_gallery)
         self.dev_vectors, self.dev_mask = build_sharded(vectors, mask, mesh)
         self._dev_int8: jax.Array | None = None  # int8 scan mirror
         # int4 tier: (packed [S*R, D/2] int8, scales [S*R] f32), sharded
@@ -261,7 +263,20 @@ class ShardedGallerySearcher:
         n = len(gallery)
         vectors = gallery._vectors[:n]
         mask = gallery._payloads.mask(flt)
-        return cls(vectors, mask, mesh)
+        return cls(vectors, mask, mesh, ids=list(gallery._ids))
+
+    def ids_of(self, idx: np.ndarray) -> list:
+        """Translate ``search`` row indices to point ids (views built
+        via ``from_gallery`` or with ``ids=``); parity with
+        CapacitySearcher.ids_of. Padded/appended rows beyond the id
+        list map to None."""
+        if self.ids is None:
+            raise ValueError("this view was built from raw vectors — "
+                             "construct with ids= or from_gallery for "
+                             "id translation")
+        return [[self.ids[int(i)] if 0 <= int(i) < len(self.ids)
+                 else None for i in row]
+                for row in np.atleast_2d(idx)]
 
     # ------------------------------------------------------------ writes
     # Incremental writes, mirroring CapacitySearcher's tile patching:

@@ -43,7 +43,13 @@ def analyze(result_csv: str | Path, make_plots: bool = True) -> dict:
     summary_path = out_dir / "similarity_score_summary.csv"
     summary.to_csv(summary_path, index=False, float_format="%.4f")
 
-    class_list = sorted(df["true_class"].unique())
+    # Union of true AND predicted classes: in nearest mode a prediction
+    # can name a class absent from the test set, and sklearn silently
+    # DROPS samples whose prediction is outside ``labels`` — a wrong
+    # prediction must appear in the matrix, not vanish. (Identical to
+    # true-only labels in the reference's same-class runs, where
+    # predicted == true by construction — 41_results:58-73.)
+    class_list = sorted(set(df["true_class"]) | set(df["predicted_class"]))
     groups = df.groupby(["case", "delegate_type"])
 
     metrics: dict[tuple[str, str], "pd.DataFrame"] = {}

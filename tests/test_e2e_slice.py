@@ -217,3 +217,45 @@ def test_nearest_mode(populated, dataset, tmp_path):
 def dataclasses_replace(cfg):
     import dataclasses
     return dataclasses.replace(cfg, match_mode="same_class")
+
+
+def test_analysis_with_imperfect_nearest_predictions(tmp_path):
+    """The 41 stage under REAL errors (every prior exercise had
+    predicted == true): accuracy < 1 lands in the metrics CSVs, and a
+    prediction naming a class absent from the test set still appears in
+    the confusion matrix instead of being silently dropped by sklearn's
+    labels= filter."""
+    import csv as _csv
+
+    import pandas as pd
+
+    rows = []
+    preds = [("cola", "cola"), ("cola", "fanta"), ("fanta", "fanta"),
+             ("fanta", "sprite")]  # 'sprite' never a true class
+    for i, (true, pred) in enumerate(preds):
+        rows.append({
+            "experiment_id": "pre_a_average", "case": "pre_a",
+            "delegate_type": "average", "image_path": f"/t/{i}.png",
+            "true_class": true, "predicted_class": pred,
+            "similarity_score": 0.9 - 0.01 * i})
+    out = tmp_path / "2026-01-01-1"
+    out.mkdir(parents=True)
+    csv_path = out / "result_2026-01-01-1.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    (out / "score_distribution").mkdir()
+    np.save(out / "score_distribution" / "pre_a_average_scores.npy",
+            np.asarray([r["similarity_score"] for r in rows]))
+
+    res = analysis.analyze(csv_path)
+    m = res["metrics"][("pre_a", "average")]
+    acc = float(m.loc["accuracy", "precision"])
+    assert abs(acc - 0.5) < 1e-6, acc  # 2 of 4 correct
+    assert "sprite" in m.index  # predicted-only class present
+    mdf = pd.read_csv(out / "metrics" / "metrics_pre_a_average.csv",
+                      index_col=0)
+    assert abs(float(mdf.loc["accuracy", "precision"]) - 0.5) < 1e-6
+    cm_png = out / "img" / "cm_pre_a_average.png"
+    assert cm_png.exists()

@@ -269,3 +269,21 @@ def test_sharded_writable_capacity_mode(rng):
                                atol=2e-2)
     _, idx = s.search(new[3], k=1, method="int4")
     assert idx[0, 0] == 53
+
+
+def test_sharded_ids_of(rng):
+    from retrieval_based_object_detection_tpu.gallery.schema import Payload
+    from retrieval_based_object_detection_tpu.gallery.store import Gallery
+
+    mesh = gallery_mesh(8)
+    g = Gallery("sid", dim=32)
+    n = 120
+    vecs = rng.normal(size=(n, 32)).astype(np.float32)
+    g.upsert([f"p{i}" for i in range(n)], vecs,
+             [Payload(data_type="original_images", class_name="c",
+                      img_path=f"/{i}.png") for i in range(n)])
+    s = ShardedGallerySearcher.from_gallery(g, mesh)
+    _, idx = s.search(vecs[11], k=1)
+    assert s.ids_of(idx)[0][0] == "p11"
+    with pytest.raises(ValueError, match="ids"):
+        ShardedGallerySearcher(vecs, np.ones(n, bool), mesh).ids_of(idx)
