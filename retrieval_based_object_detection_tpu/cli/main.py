@@ -544,9 +544,10 @@ def cmd_gallery_server(args) -> int:
     """Standalone gallery service (the Qdrant role, port 6333)."""
     from retrieval_based_object_detection_tpu.gallery.server import serve
 
-    srv = serve(args.store, host=args.host, port=args.port)
+    srv = serve(args.store, host=args.host, port=args.port,
+                api=getattr(args, "api", "native"))
     print(f"gallery service on http://{args.host}:{srv.server_address[1]} "
-          f"(store: {args.store})")
+          f"(store: {args.store}, api: {getattr(args, 'api', 'native')})")
     # Container orchestrators stop with SIGTERM, not Ctrl-C — route it
     # through the same snapshot-on-shutdown path (the finally below).
     import signal
@@ -1220,6 +1221,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--store", default="gallery_store")
     sp.add_argument("--host", default="0.0.0.0")
     sp.add_argument("--port", type=int, default=6333)
+    sp.add_argument("--api", choices=["native", "qdrant"],
+                    default="native",
+                    help="'qdrant' serves the Qdrant wire-compatible "
+                         "REST facade (the reference's qdrant-client "
+                         "call sites work unchanged)")
 
     sp = add("convert-weights", cmd_convert_weights,
              help="torch checkpoint -> orbax dir (clip or sam)")

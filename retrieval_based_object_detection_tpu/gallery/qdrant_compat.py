@@ -1,0 +1,273 @@
+"""Qdrant wire-compatible REST façade over the gallery service.
+
+The reference talks to its vector store exclusively through
+qdrant-client's REST API (util/qdrant_manager.py:30,
+31_clip_embedding_and_save_vector.py:55, 32_create_delegate_vector.py:53,
+33_run_all_experiments.py:42). This handler serves the subset of
+Qdrant's HTTP API those call sites exercise — collection CRUD, upsert,
+retrieve, filtered scroll/count/search, point delete — with Qdrant's
+request/response envelopes ({"result": ..., "status": "ok"}), so the
+reference's own scripts (or any qdrant-client) can point at
+``rbod gallery-server --api qdrant`` unchanged.
+
+Closed-loop validated: our own Qdrant *client* (pipelines/migrate.py,
+which speaks the same wire format to real Qdrant servers) migrates
+collections out of this façade byte-for-byte (tests/test_qdrant_compat).
+
+Subset notes:
+  * filters: conjunctive ``must`` of ``{"key", "match": {"value"}}``
+    conditions — the only shape the reference issues (32:104-131,
+    33:117-137). ``should``/``must_not``/ranges are rejected with a
+    clear error rather than silently misfiltered.
+  * scroll offsets are opaque integer tokens in ``next_page_offset``
+    (clients pass them back verbatim, as with real Qdrant's id tokens).
+  * distances map Cosine/Euclid/Dot/Manhattan onto the store's four
+    metrics (qdrant_manager.py:61-65).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from http.server import BaseHTTPRequestHandler
+
+import numpy as np
+
+from retrieval_based_object_detection_tpu.gallery.schema import Filter
+
+_DIST_IN = {"cosine": "cosine", "euclid": "euclid", "dot": "dot",
+            "manhattan": "manhattan"}
+_DIST_OUT = {"cosine": "Cosine", "euclid": "Euclid", "dot": "Dot",
+             "manhattan": "Manhattan"}
+
+_COLL = re.compile(r"^/collections/([^/?#]+)(/.*)?$")
+
+
+class _Bad(ValueError):
+    """Client error with a Qdrant-style status message."""
+
+
+def _filter_from_qdrant(body: dict) -> Filter | None:
+    flt = body.get("filter")
+    if not flt:
+        return None
+    extra = set(flt) - {"must"}
+    if extra:
+        raise _Bad(f"unsupported filter clauses {sorted(extra)}: this "
+                   "facade serves the reference's conjunctive "
+                   "must/match subset")
+    must: dict = {}
+    for cond in flt.get("must", []):
+        if "key" not in cond or "match" not in cond \
+                or "value" not in cond["match"]:
+            raise _Bad(f"unsupported filter condition {cond!r}: expected "
+                       '{"key": ..., "match": {"value": ...}}')
+        must[cond["key"]] = cond["match"]["value"]
+    return Filter(must=must) if must else None
+
+
+def _point_out(p: dict, with_payload: bool, with_vector: bool) -> dict:
+    out: dict = {"id": p["id"]}
+    out["payload"] = p["payload"] if with_payload else None
+    out["vector"] = p.get("vector") if with_vector else None
+    return out
+
+
+def make_qdrant_handler(svc):
+    """BaseHTTPRequestHandler subclass speaking Qdrant REST over ``svc``
+    (a GalleryService)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        # -------------------------------------------------- plumbing
+        def _send(self, result, code=200):
+            body = json.dumps({"result": result, "status": "ok",
+                               "time": 0.0}).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _error(self, msg: str, code: int):
+            body = json.dumps({"status": {"error": msg},
+                               "time": 0.0}).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self) -> dict:
+            length = int(self.headers.get("Content-Length") or 0)
+            if not length:
+                return {}
+            raw = self.rfile.read(length)
+            try:
+                return json.loads(raw)
+            except Exception as e:
+                raise _Bad(f"bad json: {e}")
+
+        def _route(self, method: str) -> None:
+            path = self.path.split("?", 1)[0]
+            try:
+                if path == "/collections" and method == "GET":
+                    return self._send({"collections": [
+                        {"name": c["name"]}
+                        for c in svc.list_collections()]})
+                m = _COLL.match(path)
+                if not m:
+                    return self._error(f"no such route: {path}", 404)
+                name, sub = m.group(1), m.group(2) or ""
+                fn = getattr(self, f"_{method.lower()}{sub.replace('/', '_')}",
+                             None)
+                if fn is None:
+                    return self._error(
+                        f"unsupported: {method} {path}", 404)
+                return fn(name)
+            except _Bad as e:
+                return self._error(str(e), 400)
+            except KeyError as e:
+                return self._error(f"not found: {e}", 404)
+            except Exception as e:
+                return self._error(f"{type(e).__name__}: {e}", 500)
+
+        def do_GET(self):
+            self._route("GET")
+
+        def do_PUT(self):
+            self._route("PUT")
+
+        def do_POST(self):
+            self._route("POST")
+
+        def do_DELETE(self):
+            self._route("DELETE")
+
+        # -------------------------------------------------- collections
+        def _get(self, name):  # GET /collections/{name}
+            info = next((c for c in svc.list_collections()
+                         if c["name"] == name), None)
+            if info is None:
+                return self._error(f"collection {name!r} not found", 404)
+            self._send({
+                "status": "green",
+                "points_count": info["count"],
+                "vectors_count": info["count"],
+                "config": {"params": {"vectors": {
+                    "size": info["dim"],
+                    "distance": _DIST_OUT[info["distance"]],
+                }}},
+            })
+
+        def _put(self, name):  # PUT /collections/{name} (create)
+            body = self._body()
+            vectors = body.get("vectors") or {}
+            if "size" not in vectors:
+                raise _Bad('missing "vectors": {"size", "distance"}')
+            dist = _DIST_IN.get(str(vectors.get("distance",
+                                                "Cosine")).lower())
+            if dist is None:
+                raise _Bad(f"unknown distance {vectors.get('distance')!r}")
+            try:
+                svc.create(name, {"dim": int(vectors["size"]),
+                                  "distance": dist})
+            except KeyError:
+                return self._error(f"collection {name!r} already exists",
+                                   409)
+            self._send(True)
+
+        def _delete(self, name):  # DELETE /collections/{name}
+            try:
+                svc.delete_collection(name)
+            except KeyError:
+                return self._send(False)  # Qdrant: result false, not 404
+            self._send(True)
+
+        # -------------------------------------------------- points
+        def _put_points(self, name):  # PUT .../points (upsert)
+            body = self._body()
+            points = body.get("points")
+            if not isinstance(points, list):
+                raise _Bad('missing "points" list')
+            ids = [str(p["id"]) for p in points]
+            vectors = np.asarray([p["vector"] for p in points], np.float32)
+            payloads = [p.get("payload") or {} for p in points]
+            svc.upsert(name, {"ids": ids, "vectors": vectors,
+                              "payloads": payloads})
+            self._send({"operation_id": 0, "status": "completed"})
+
+        def _post_points(self, name):  # POST .../points (retrieve)
+            body = self._body()
+            if "ids" not in body:
+                raise _Bad('missing "ids"')
+            with svc.lock:
+                g = svc.store.get(name)
+                recs = g.retrieve([str(i) for i in body["ids"]],
+                                  with_vectors=bool(
+                                      body.get("with_vector", False)))
+            self._send([
+                _point_out({"id": r.id, "payload": r.payload.to_dict(),
+                            "vector": (r.vector.tolist()
+                                       if r.vector is not None else None)},
+                           bool(body.get("with_payload", True)),
+                           bool(body.get("with_vector", False)))
+                for r in recs])
+
+        def _post_points_scroll(self, name):
+            body = self._body()
+            flt = _filter_from_qdrant(body)
+            req = {"limit": int(body.get("limit", 10)),
+                   "offset": int(body.get("offset") or 0),
+                   "with_vectors": bool(body.get("with_vector", False))}
+            if flt:
+                req["filter"] = dict(flt.must)
+            out = svc.scroll(name, req)
+            with_payload = bool(body.get("with_payload", True))
+            with_vector = bool(body.get("with_vector", False))
+            self._send({
+                "points": [_point_out(p, with_payload, with_vector)
+                           for p in out["points"]],
+                "next_page_offset": out["next_offset"],
+            })
+
+        def _post_points_count(self, name):
+            body = self._body()
+            flt = _filter_from_qdrant(body)
+            out = svc.count(name, {"filter": dict(flt.must)} if flt else {})
+            self._send({"count": out["count"]})
+
+        def _post_points_search(self, name):
+            body = self._body()
+            if "vector" not in body:
+                raise _Bad('missing "vector"')
+            flt = _filter_from_qdrant(body)
+            out = svc.search(name, {
+                "queries": [body["vector"]],
+                "k": int(body.get("limit", 10)),
+                "with_vectors": bool(body.get("with_vector", False)),
+                **({"filter": dict(flt.must)} if flt else {}),
+            })
+            with_payload = bool(body.get("with_payload", True))
+            with_vector = bool(body.get("with_vector", False))
+            self._send([
+                {**_point_out(h, with_payload, with_vector),
+                 "score": h["score"], "version": 0}
+                for h in out["results"][0]])
+
+        def _post_points_delete(self, name):
+            body = self._body()
+            req: dict = {}
+            if "points" in body:
+                req["ids"] = [str(i) for i in body["points"]]
+            flt = _filter_from_qdrant(body)
+            if flt:
+                req["filter"] = dict(flt.must)
+            if not req:
+                raise _Bad('expected "points" ids or "filter"')
+            svc.delete_points(name, req)
+            self._send({"operation_id": 0, "status": "completed"})
+
+    return Handler

@@ -287,11 +287,27 @@ def make_handler(svc: GalleryService):
 
 
 def serve(root: str | Path, host: str = "0.0.0.0", port: int = 6333,
-          mmap_vectors: bool = True) -> ThreadingHTTPServer:
+          mmap_vectors: bool = True,
+          api: str = "native") -> ThreadingHTTPServer:
     """Start the gallery service (port 6333 mirrors Qdrant's). Returns the
     server; the caller runs serve_forever and calls service.snapshot() on
-    shutdown."""
+    shutdown.
+
+    ``api="qdrant"`` serves the Qdrant wire-compatible REST façade
+    instead of the native API (gallery/qdrant_compat.py) — the
+    reference's own qdrant-client call sites work against it unchanged.
+    """
     svc = GalleryService(root, mmap_vectors=mmap_vectors)
-    server = ThreadingHTTPServer((host, port), make_handler(svc))
+    if api == "qdrant":
+        from retrieval_based_object_detection_tpu.gallery.qdrant_compat import (
+            make_qdrant_handler,
+        )
+
+        handler = make_qdrant_handler(svc)
+    elif api == "native":
+        handler = make_handler(svc)
+    else:
+        raise ValueError(f"unknown api {api!r}: 'native' or 'qdrant'")
+    server = ThreadingHTTPServer((host, port), handler)
     server.service = svc
     return server

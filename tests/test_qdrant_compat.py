@@ -1,0 +1,151 @@
+"""Qdrant wire-compatibility façade (gallery/qdrant_compat.py).
+
+Two validation angles:
+  1. CLOSED LOOP — our own Qdrant REST *client* (pipelines/migrate.py,
+     written against real Qdrant's wire format) migrates collections
+     out of the façade; both sides of the wire format must agree.
+  2. Raw HTTP requests shaped exactly like the reference's
+     qdrant-client call sites (recreate_collection, per-point upsert at
+     31_clip…py:176-179, filtered scroll at 32:123-131 / 33:96-150,
+     count at qm:41-50, search, delete).
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from retrieval_based_object_detection_tpu.gallery import server as server_mod
+from retrieval_based_object_detection_tpu.gallery.schema import Payload
+from retrieval_based_object_detection_tpu.gallery.store import VectorStore
+from retrieval_based_object_detection_tpu.pipelines import migrate
+
+
+@pytest.fixture
+def qdrant_api(tmp_path):
+    srv = server_mod.serve(tmp_path / "store", host="127.0.0.1", port=0,
+                           api="qdrant")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", srv.service
+    srv.shutdown()
+
+
+def _req(method, url, body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    if data is not None:
+        req.add_header("Content-Type", "application/json")
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return json.loads(resp.read())
+
+
+def test_reference_call_sites_over_the_wire(qdrant_api, rng):
+    base, _ = qdrant_api
+    # recreate_collection (qdrant_manager.py:82-85): delete + PUT.
+    _req("DELETE", f"{base}/collections/demo")
+    out = _req("PUT", f"{base}/collections/demo",
+               {"vectors": {"size": 16, "distance": "Cosine"}})
+    assert out["status"] == "ok" and out["result"] is True
+    # Second create -> Qdrant-style already-exists error.
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req("PUT", f"{base}/collections/demo",
+             {"vectors": {"size": 16, "distance": "Cosine"}})
+    assert ei.value.code == 409
+
+    # get_collections (31_clip…py:55-57).
+    out = _req("GET", f"{base}/collections")
+    assert {"name": "demo"} in out["result"]["collections"]
+    info = _req("GET", f"{base}/collections/demo")["result"]
+    assert info["config"]["params"]["vectors"] == {
+        "size": 16, "distance": "Cosine"}
+
+    # Per-point upsert exactly as 31_clip…py:166-179 issues it.
+    vecs = rng.normal(size=(6, 16)).astype(np.float32)
+    for i in range(6):
+        payload = {
+            "data_type": "original_images", "is_cropped": True,
+            "is_segmented": False, "is_augmented": False,
+            "class_name": "cola" if i < 4 else "fanta",
+            "is_delegate": False, "delegate_type": None,
+            "img_path": f"/d/{i}.png",
+        }
+        out = _req("PUT", f"{base}/collections/demo/points?wait=true",
+                   {"points": [{"id": f"{i:032x}",
+                                "vector": vecs[i].tolist(),
+                                "payload": payload}]})
+        assert out["result"]["status"] == "completed"
+    assert _req("GET", f"{base}/collections/demo")["result"][
+        "points_count"] == 6
+
+    # Filtered scroll with vectors (32_create_delegate_vector.py:123-131).
+    out = _req("POST", f"{base}/collections/demo/points/scroll", {
+        "limit": 100, "with_payload": True, "with_vector": True,
+        "filter": {"must": [
+            {"key": "class_name", "match": {"value": "cola"}},
+            {"key": "is_delegate", "match": {"value": False}},
+        ]}})["result"]
+    assert len(out["points"]) == 4 and out["next_page_offset"] is None
+    got = np.asarray([p["vector"] for p in out["points"]], np.float32)
+    np.testing.assert_allclose(np.sort(got, 0), np.sort(vecs[:4], 0),
+                               atol=1e-6)
+    assert all(p["payload"]["class_name"] == "cola"
+               for p in out["points"])
+
+    # count (qdrant_manager.py:41-50).
+    out = _req("POST", f"{base}/collections/demo/points/count",
+               {"exact": True})["result"]
+    assert out["count"] == 6
+
+    # retrieve by ids (POST points).
+    out = _req("POST", f"{base}/collections/demo/points",
+               {"ids": [f"{2:032x}"], "with_payload": True,
+                "with_vector": True})["result"]
+    assert len(out) == 1 and out[0]["payload"]["img_path"] == "/d/2.png"
+
+    # search (the N-way generalisation clients would use).
+    out = _req("POST", f"{base}/collections/demo/points/search", {
+        "vector": vecs[1].tolist(), "limit": 2, "with_payload": True,
+    })["result"]
+    assert out[0]["id"] == f"{1:032x}" and out[0]["score"] > 0.999
+
+    # unsupported filter clause -> clear 400, not silent misfiltering.
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req("POST", f"{base}/collections/demo/points/scroll",
+             {"filter": {"should": []}})
+    assert ei.value.code == 400
+
+    # delete points then the collection (qdrant_manager.py:104-141).
+    _req("POST", f"{base}/collections/demo/points/delete",
+         {"points": [f"{0:032x}"]})
+    assert _req("POST", f"{base}/collections/demo/points/count",
+                {})["result"]["count"] == 5
+    assert _req("DELETE", f"{base}/collections/demo")["result"] is True
+    assert _req("GET", f"{base}/collections")["result"]["collections"] == []
+
+
+def test_closed_loop_migrate_from_facade(qdrant_api, rng):
+    """pipelines/migrate (our Qdrant REST client) pulls collections out
+    of the façade — both wire directions validated against each other,
+    including scroll pagination."""
+    base, svc = qdrant_api
+    with svc.lock:
+        g = svc.store.create_collection("src", dim=16)
+        n = 37  # forces multiple scroll pages at batch=10
+        vecs = rng.normal(size=(n, 16)).astype(np.float32)
+        g.upsert([f"{i:032x}" for i in range(n)], vecs,
+                 [Payload(data_type="original_images",
+                          class_name=f"c{i % 3}",
+                          img_path=f"/m/{i}.png") for i in range(n)])
+
+    dest = VectorStore()
+    res = migrate.import_qdrant(dest, base, batch=10, quiet=True)
+    assert res.collections == ["src"] and res.n_points == n
+    out = dest.get("src")
+    assert len(out) == n and out.dim == 16 and out.distance == "cosine"
+    rec = out.retrieve([f"{5:032x}"])[0]
+    np.testing.assert_allclose(rec.vector, vecs[5], atol=1e-6)
+    assert rec.payload.class_name == "c2"
