@@ -283,27 +283,30 @@ class CapacitySearcher:
                 run_start = i
         return len(ids)
 
-    def delete(self, ids) -> int:
-        """Tombstone rows by id via the mask — the planes stay put.
-        Mask tiles are pushed ONCE for the whole batch (per-id pushes
+    def set_rows_invalid(self, rows) -> int:
+        """Tombstone rows BY INDEX via the mask — the planes stay put.
+        Mask tiles are pushed ONCE for the whole batch (per-row pushes
         cost a tunnel round trip each; 1k deletes would be ~30 s of
         pure dispatch overhead at the scale this class serves)."""
-        id_map = self._ensure_id_map()
-        rows = []
-        for pid in ids:
-            row = id_map.get(pid)
-            if row is not None and self._host_mask[row]:
-                self._host_mask[row] = False
-                rows.append(row)
-        if rows:
+        live = [int(r) for r in rows
+                if 0 <= int(r) < self.n_rows and self._host_mask[int(r)]]
+        for r in live:
+            self._host_mask[r] = False
+        if live:
             tile = self._tile
             mask = self.dev_mask
-            for ts in sorted({(r // tile) * tile for r in rows}):
+            for ts in sorted({(r // tile) * tile for r in live}):
                 mask = _patch_mask_tile(
                     mask, jnp.asarray(self._host_mask[ts: ts + tile]),
                     jnp.int32(ts))
             self.dev_mask = mask
-        return len(rows)
+        return len(live)
+
+    def delete(self, ids) -> int:
+        """Tombstone rows by id via the mask (see set_rows_invalid)."""
+        id_map = self._ensure_id_map()
+        return self.set_rows_invalid(
+            [id_map[pid] for pid in ids if pid in id_map])
 
     def search(self, queries: np.ndarray, k: int = 10,
                rescore: int = 256,
@@ -317,11 +320,21 @@ class CapacitySearcher:
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None]
+        # The final top-k ranks within the rescored candidate set — a
+        # k beyond it must widen the set, not crash lax.top_k.
+        rescore = min(max(rescore, k), self._padded)
         mask = self.dev_mask
         if extra_mask is not None:
-            buf = np.zeros(self._padded, bool)
-            buf[: self.n_rows] = extra_mask[: self.n_rows]
-            mask = jnp.logical_and(mask, jnp.asarray(buf))
+            if (isinstance(extra_mask, jax.Array)
+                    and extra_mask.shape[0] == self._padded):
+                # Already padded + device-resident (the Gallery caches
+                # per-filter masks — re-uploading N bools per query
+                # would dominate small-query latency at 10M rows).
+                mask = jnp.logical_and(mask, extra_mask)
+            else:
+                buf = np.zeros(self._padded, bool)
+                buf[: self.n_rows] = extra_mask[: self.n_rows]
+                mask = jnp.logical_and(mask, jnp.asarray(buf))
         if platform.is_tpu():
             scores, idx = search_lib.int4_scan_topk(
                 jnp.asarray(queries), self.dev_packed, self.dev_scales,

@@ -131,6 +131,14 @@ class Gallery:
         self._dirty_hi = 0
         # Device filter masks keyed by canonical filter; cleared on writes.
         self._mask_cache: dict[Any, jax.Array] = {}
+        # Capacity serving tier (method="capacity", auto past the point
+        # where the standard mirrors stop fitting HBM): a lazily built
+        # WRITABLE CapacitySearcher kept in sync through the pending-op
+        # log below (ranges from upserts, mask rows from deletes) so
+        # small writes patch tiles instead of rebuilding 12.5 GB.
+        self._cap_view = None
+        self._cap_pending: list[tuple] = []  # ("rows", lo, hi)|("mask", [r])
+        self._cap_mask_cache: dict[Any, jax.Array] = {}
         # Resolved-path fallback index for get_by_path (lazy, maintained
         # INCREMENTALLY across writes — see _patch_resolved). Pure string
         # normalisation, no per-row filesystem syscalls: at 1M rows a
@@ -246,6 +254,13 @@ class Gallery:
             self._mark_dirty(int(existing.min()), int(existing.max()) + 1)
         else:
             self._mask_cache.clear()  # appends change the validity mask
+        if self._cap_view is not None:
+            if existing.size:
+                self._cap_pending.append(
+                    ("rows", int(existing.min()), int(existing.max()) + 1))
+            if len(self._ids) > old_len:
+                self._cap_pending.append(("rows", old_len, len(self._ids)))
+        self._cap_mask_cache.clear()
         self._patch_resolved(rows)
         self._wseq += 1
         self._snap_dirty.update(ids)
@@ -308,6 +323,10 @@ class Gallery:
             if key is not None:
                 self._resolved_remove(r, key)
         self._mask_cache.clear()  # validity changed; mirrors still good
+        self._cap_mask_cache.clear()
+        if self._cap_view is not None:
+            self._cap_pending.append(
+                ("mask", [int(r) for r in np.nonzero(drop)[0]]))
         self._wseq += 1
         if (self._n_dead >= self._COMPACT_DEAD_MIN
                 and self._n_dead >= self._COMPACT_DEAD_FRACTION * n):
@@ -561,6 +580,10 @@ class Gallery:
         self._synced = 0
         self._dirty_lo = self._dirty_hi = 0
         self._mask_cache.clear()
+        # Rows renumber: the capacity view cannot be patched across it.
+        self._cap_view = None
+        self._cap_pending.clear()
+        self._cap_mask_cache.clear()
 
     def _mark_dirty(self, lo: int, hi: int) -> None:
         """Record a host-row write; mirrors patch the range at next sync.
@@ -684,6 +707,88 @@ class Gallery:
     # dispatch overhead.
     INT8_SCAN_MIN_ROWS = 131_072
 
+    # Standard serving keeps ~5 bytes/dim resident (f32 + int8 mirrors);
+    # past this budget a serving search auto-routes to the capacity tier
+    # (bf16 rescore + int4 planes, ~2.5 bytes/dim — docs/PRODUCTION.md
+    # capacity planning). 8 GiB leaves half a v5e's HBM for the model.
+    CAPACITY_AUTO_BYTES = 8 << 30
+
+    def _ensure_capacity_view(self):
+        """Build (or incrementally sync) the writable capacity view from
+        the pending-op log — small writes patch tiles, never rebuild."""
+        from retrieval_based_object_detection_tpu.gallery.capacity import (
+            CapacitySearcher,
+        )
+
+        n = self._nrows
+        if self._cap_view is None:
+            self._cap_view = CapacitySearcher(
+                self._vectors[:n], self._alive[:n].copy(),
+                headroom=max(4096, n // 8))
+            self._cap_pending.clear()
+            self._cap_mask_cache.clear()
+            return self._cap_view
+        view = self._cap_view
+        try:
+            for op in self._cap_pending:
+                if op[0] == "rows":
+                    _, lo, hi = op
+                    view.upsert_rows(lo, self._vectors[lo:hi])
+                else:
+                    view.set_rows_invalid(op[1])
+        except ValueError:
+            # Outgrew the build-time headroom: one rebuild, then the
+            # incremental path resumes.
+            self._cap_view = None
+            return self._ensure_capacity_view()
+        self._cap_pending.clear()
+        return view
+
+    def _cap_filter_mask(self, flt: Filter | None):
+        """Per-filter device mask at the capacity view's padding (cached
+        — re-uploading N bools per query would dominate at 10M rows).
+        Validity/tombstones live in the view's own mask; this carries
+        the payload filter only."""
+        if flt is None:
+            return None
+        view = self._cap_view
+        key = tuple(sorted(flt.must.items(), key=lambda kv: kv[0]))
+        cached = self._cap_mask_cache.get(key)
+        if cached is not None and cached.shape[0] == view._padded:
+            return cached
+        buf = np.zeros(view._padded, dtype=bool)
+        m = self._payloads.mask(flt)
+        buf[: len(m)] = m
+        mask = jnp.asarray(buf)
+        if len(self._cap_mask_cache) >= 64:
+            self._cap_mask_cache.clear()
+        self._cap_mask_cache[key] = mask
+        return mask
+
+    def _capacity_search(self, queries: np.ndarray, k: int,
+                         flt: Filter | None,
+                         with_vectors: bool) -> list[list[Record]]:
+        view = self._ensure_capacity_view()
+        k_eff = min(k, len(self))
+        scores, idx = view.search(queries, k=k_eff,
+                                  extra_mask=self._cap_filter_mask(flt))
+        results: list[list[Record]] = []
+        for qi in range(queries.shape[0]):
+            hits = []
+            for j in range(k_eff):
+                if scores[qi, j] <= float(search_lib.NEG_INF) / 2:
+                    break
+                row = int(idx[qi, j])
+                hits.append(Record(
+                    id=self._ids[row],
+                    payload=self._payloads.get_row(row),
+                    vector=self._vectors[row].copy()
+                    if with_vectors else None,
+                    score=float(scores[qi, j]),
+                ))
+            results.append(hits)
+        return results
+
     def search(
         self,
         queries: np.ndarray,
@@ -701,9 +806,12 @@ class Gallery:
         fastest tier — per-row 4-bit packing, scale-compensated
         in-kernel, same f32 rescore so hit scores are exact, but the
         top-k SET is ~99.3% of exact at 1M (4-bit resolution floor);
-        even dims only), or None — which means exact when
-        ``exact=True``, else auto (int8 on TPU at ≥INT8_SCAN_MIN_ROWS
-        rows, bf16 below).
+        even dims only), "capacity" (the bf16-rescore + int4-plane
+        tier at ~2.5 bytes/dim residency — 10M×512 on one v5e;
+        writable, kept in sync incrementally), or None — which means
+        exact when ``exact=True``, else auto: capacity once the
+        standard mirrors exceed CAPACITY_AUTO_BYTES, else int8 on TPU
+        at ≥INT8_SCAN_MIN_ROWS rows, bf16 below.
         """
         n = len(self._ids)
         if method is None:
@@ -711,6 +819,12 @@ class Gallery:
                 method = "exact"
             elif self.distance != "cosine":
                 method = "bf16"  # int8 quantisation assumes unit rows
+            elif (self.dim % 2 == 0
+                  and n * self.dim * 5 > self.CAPACITY_AUTO_BYTES):
+                # The standard mirrors (~5 bytes/dim) stop fitting HBM:
+                # serve through the bf16+int4 capacity tier instead of
+                # OOMing the f32 mirror build.
+                method = "capacity"
             else:
                 from retrieval_based_object_detection_tpu.utils import (
                     platform,
@@ -718,16 +832,18 @@ class Gallery:
 
                 method = ("int8" if n >= self.INT8_SCAN_MIN_ROWS
                           and platform.is_tpu() else "bf16")
-        if method not in ("exact", "bf16", "int8", "int4"):
+        if method not in ("exact", "bf16", "int8", "int4", "capacity"):
             raise ValueError(
                 f"unknown method {method!r}: expected one of "
-                "'exact', 'bf16', 'int8', 'int4' (or None for auto)")
-        if method in ("int8", "int4") and self.distance != "cosine":
+                "'exact', 'bf16', 'int8', 'int4', 'capacity' "
+                "(or None for auto)")
+        if method in ("int8", "int4", "capacity") \
+                and self.distance != "cosine":
             raise ValueError(
                 f"method={method!r} requires a cosine collection (the "
                 "quantised tiers assume unit-norm rows)")
-        if method == "int4" and self.dim % 2:
-            raise ValueError("method='int4' requires an even dim "
+        if method in ("int4", "capacity") and self.dim % 2:
+            raise ValueError(f"method={method!r} requires an even dim "
                              "(two dims pack per byte)")
         queries = np.asarray(queries, dtype=np.float32)
         single = queries.ndim == 1
@@ -735,6 +851,10 @@ class Gallery:
             queries = queries[None, :]
         if len(self) == 0:  # no LIVE points (all-tombstoned included)
             return [[] for _ in range(queries.shape[0])]
+        if method == "capacity":
+            # Own device residency (bf16 + int4 planes, no f32 mirror);
+            # never touches _sync_mirrors.
+            return self._capacity_search(queries, k, flt, with_vectors)
         self._sync_mirrors(f32=(method in ("exact", "int8", "int4")),
                            bf16=(method == "bf16"), i8=(method == "int8"))
         mask = self._device_mask(flt)

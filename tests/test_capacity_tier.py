@@ -1,0 +1,114 @@
+"""Gallery.search(method="capacity"): the beyond-mirror-scale serving
+tier through the ONE store API — lazily built writable CapacitySearcher,
+kept in sync via the pending-op log (upsert ranges, delete masks), with
+cached per-filter device masks and auto-routing once the standard
+mirrors would exceed the HBM budget.
+"""
+
+import numpy as np
+import pytest
+
+from retrieval_based_object_detection_tpu.gallery.schema import Filter, Payload
+from retrieval_based_object_detection_tpu.gallery.store import Gallery
+
+DIM = 64
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(5)
+
+
+def _fill(g, rng, n, start=0):
+    vecs = rng.normal(size=(n, DIM)).astype(np.float32)
+    g.upsert([f"p{start + i}" for i in range(n)], vecs,
+             [Payload(data_type="original_images",
+                      class_name=f"c{(start + i) % 4}",
+                      img_path=f"/c/{start + i}.png") for i in range(n)])
+    return vecs
+
+
+def test_capacity_method_matches_exact_modulo_bf16(rng):
+    g = Gallery("cap", dim=DIM)
+    vecs = _fill(g, rng, 800)
+    q = vecs[123] + 0.01 * rng.normal(size=DIM).astype(np.float32)
+    exact = g.search(q, k=5, method="exact")[0]
+    cap = g.search(q, k=5, method="capacity")[0]
+    assert cap[0].id == exact[0].id == "p123"
+    assert {h.id for h in cap} == {h.id for h in exact}
+    for e, c in zip(exact, cap):
+        assert abs(e.score - c.score) < 2e-2  # bf16 rescore drift
+
+
+def test_capacity_tier_syncs_incrementally(rng):
+    g = Gallery("capw", dim=DIM)
+    _fill(g, rng, 500)
+    g.search(rng.normal(size=DIM).astype(np.float32), k=3,
+             method="capacity")
+    view = g._cap_view
+    assert view is not None
+
+    # Overwrite + append + delete through the NORMAL store API.
+    new = rng.normal(size=(2, DIM)).astype(np.float32)
+    g.upsert(["p7", "extra"], new,
+             [Payload(data_type="original_images", class_name="c0",
+                      img_path="/c/7n.png"),
+              Payload(data_type="original_images", class_name="c0",
+                      img_path="/c/extra.png")])
+    g.delete(ids=["p100"])
+    hits = g.search(new[0], k=1, method="capacity")[0]
+    assert hits[0].id == "p7"
+    hits = g.search(new[1], k=1, method="capacity")[0]
+    assert hits[0].id == "extra"
+    assert g._cap_view is view  # patched, not rebuilt
+    # Deleted point is masked out of the capacity tier: its own vector
+    # no longer finds it.
+    p100_vec = g._vectors[100]
+    hits = g.search(p100_vec, k=1, method="capacity")[0]
+    assert hits[0].id != "p100"
+
+
+def test_capacity_tier_filters_and_cache(rng):
+    g = Gallery("capf", dim=DIM)
+    vecs = _fill(g, rng, 600)
+    flt = Filter(must={"class_name": "c2"})
+    hits = g.search(vecs[2], k=5, method="capacity", flt=flt)[0]
+    assert hits and all(h.payload.class_name == "c2" for h in hits)
+    assert hits[0].id == "p2"
+    assert len(g._cap_mask_cache) == 1
+    cached = next(iter(g._cap_mask_cache.values()))
+    g.search(vecs[6], k=5, method="capacity",
+             flt=Filter(must={"class_name": "c2"}))
+    assert next(iter(g._cap_mask_cache.values())) is cached
+    # A write invalidates the filter-mask cache.
+    g.upsert(["p0"], vecs[:1],
+             [Payload(data_type="original_images", class_name="c2",
+                      img_path="/c/0.png")])
+    assert len(g._cap_mask_cache) == 0
+
+
+def test_capacity_auto_route_past_hbm_budget(rng, monkeypatch):
+    monkeypatch.setattr(Gallery, "CAPACITY_AUTO_BYTES", 1)
+    g = Gallery("capauto", dim=DIM)
+    vecs = _fill(g, rng, 300)
+    hits = g.search(vecs[9], k=1, exact=False)[0]
+    assert hits[0].id == "p9"
+    assert g._cap_view is not None      # served via the capacity tier
+    assert g._dev_f32 is None           # standard mirrors never built
+
+
+def test_capacity_headroom_overflow_rebuilds(rng):
+    from retrieval_based_object_detection_tpu.gallery.capacity import (
+        CapacitySearcher,
+    )
+
+    g = Gallery("capovf", dim=DIM)
+    _fill(g, rng, 256)
+    # Force a view with zero append headroom.
+    g._cap_view = CapacitySearcher(g._vectors[:256],
+                                   g._alive[:256].copy(), headroom=0)
+    g._cap_pending.clear()
+    extra = _fill(g, rng, 10, start=1000)  # appends exceed headroom
+    hits = g.search(extra[3], k=1, method="capacity")[0]
+    assert hits[0].id == "p1003"  # rebuilt transparently
+    assert g._cap_view.n_rows == 266
