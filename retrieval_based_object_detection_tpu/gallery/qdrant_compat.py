@@ -152,14 +152,42 @@ def make_qdrant_handler(svc):
                          if c["name"] == name), None)
             if info is None:
                 return self._error(f"collection {name!r} not found", 404)
+            # The FULL CollectionInfo field set qdrant-client's pydantic
+            # model requires — omitting optimizer_status/segments_count/
+            # the config sub-objects fails client-side validation even
+            # though the caller only reads points_count.
             self._send({
                 "status": "green",
+                "optimizer_status": "ok",
                 "points_count": info["count"],
                 "vectors_count": info["count"],
-                "config": {"params": {"vectors": {
-                    "size": info["dim"],
-                    "distance": _DIST_OUT[info["distance"]],
-                }}},
+                "indexed_vectors_count": 0,
+                "segments_count": 1,
+                "payload_schema": {},
+                "config": {
+                    "params": {
+                        "vectors": {
+                            "size": info["dim"],
+                            "distance": _DIST_OUT[info["distance"]],
+                        },
+                        "shard_number": 1,
+                        "replication_factor": 1,
+                        "write_consistency_factor": 1,
+                        "on_disk_payload": False,
+                    },
+                    "hnsw_config": {"m": 0, "ef_construct": 0,
+                                    "full_scan_threshold": 0},
+                    "optimizer_config": {
+                        "deleted_threshold": 0.0,
+                        "vacuum_min_vector_number": 0,
+                        "default_segment_number": 1,
+                        "flush_interval_sec": 0,
+                        "indexing_threshold": 0,
+                    },
+                    "wal_config": {"wal_capacity_mb": 0,
+                                   "wal_segments_ahead": 0},
+                    "quantization_config": None,
+                },
             })
 
         def _put(self, name):  # PUT /collections/{name} (create)
@@ -192,8 +220,16 @@ def make_qdrant_handler(svc):
             points = body.get("points")
             if not isinstance(points, list):
                 raise _Bad('missing "points" list')
-            ids = [str(p["id"]) for p in points]
-            vectors = np.asarray([p["vector"] for p in points], np.float32)
+            try:
+                ids = [str(p["id"]) for p in points]
+                vectors = np.asarray([p["vector"] for p in points],
+                                     np.float32)
+            except KeyError as e:
+                # A malformed POINT is a 400, not the 404 the generic
+                # missing-collection KeyError handler would emit.
+                raise _Bad(f"point missing required field {e}")
+            except (TypeError, ValueError) as e:
+                raise _Bad(f"bad vectors: {e}")
             payloads = [p.get("payload") or {} for p in points]
             svc.upsert(name, {"ids": ids, "vectors": vectors,
                               "payloads": payloads})

@@ -223,6 +223,12 @@ class ShardedGallerySearcher:
         self.capacity = capacity
         self.ids = ids  # optional row -> point-id mapping (from_gallery)
         self.dev_vectors, self.dev_mask = build_sharded(vectors, mask, mesh)
+        # Host shadow of the row mask (S*R bools): the write path patches
+        # only the touched tiles from it — a full-tile `valid` overwrite
+        # would revive tombstones / mark padded rows live on edge tiles,
+        # and full-mask round trips don't scale to pod row counts.
+        self._host_mask = np.zeros(self.dev_mask.shape[0], bool)
+        self._host_mask[: mask.shape[0]] = mask
         self._dev_int8: jax.Array | None = None  # int8 scan mirror
         # int4 tier: (packed [S*R, D/2] int8, scales [S*R] f32), sharded
         self._dev_int4: tuple[jax.Array, jax.Array] | None = None
@@ -320,11 +326,11 @@ class ShardedGallerySearcher:
                                              jnp.int32(ts)))
                 lo, hi = max(start, ts), min(end, te)
                 staged[lo - ts: hi - ts] = rows[lo - start: hi - start]
-            self._patch_write_tile(jnp.asarray(staged), ts, valid)
+            self._patch_write_tile(jnp.asarray(staged), ts)
         self.n_rows = max(self.n_rows, end)
+        self._set_mask_range(start, end, valid)
 
-    def _patch_write_tile(self, staged: jax.Array, ts: int,
-                          valid: bool) -> None:
+    def _patch_write_tile(self, staged: jax.Array, ts: int) -> None:
         start = jnp.int32(ts)
         self.dev_vectors = _dus_rows(self.dev_vectors, staged, start)
         if self._dev_int8 is not None:
@@ -336,22 +342,37 @@ class ShardedGallerySearcher:
             p, s = jax.jit(search_lib.pack_rows_int4)(staged)
             self._dev_int4 = (_dus_rows(packed, p, start),
                               _dus_1d(scales, s, start))
-        mrows = jnp.full((staged.shape[0],), bool(valid))
-        self.dev_mask = _dus_1d(self.dev_mask, mrows, start)
+
+    def _set_mask_range(self, lo: int, hi: int, value: bool) -> None:
+        """Update [lo, hi) in the host shadow and push ONLY the touched
+        tiles — never whole-tile constants (which clobbered neighbours'
+        tombstone/padding state) and never the full mask (which doesn't
+        scale to pod row counts)."""
+        self._host_mask[lo:hi] = value
+        tile = self._TILE
+        mask = self.dev_mask
+        for ts in range((lo // tile) * tile, hi, tile):
+            mask = _dus_1d(
+                mask, jnp.asarray(self._host_mask[ts: ts + tile]),
+                jnp.int32(ts))
+        self.dev_mask = mask
 
     def delete_rows(self, rows: "np.ndarray | list[int]") -> int:
-        """Tombstone rows via the sharded mask (planes stay put)."""
-        rows = [int(r) for r in np.atleast_1d(np.asarray(rows))
-                if 0 <= int(r) < self.n_rows]
-        if not rows:
-            return 0
-        host = np.array(self.dev_mask)  # S*R bools — tiny
-        changed = [r for r in rows if host[r]]
-        host[changed] = False
-        if changed:
-            self.dev_mask = jax.device_put(
-                host, NamedSharding(self.mesh, P(AXIS)))
-        return len(changed)
+        """Tombstone rows via the sharded mask (planes stay put); mask
+        tiles push once per touched tile for the whole batch."""
+        live = [int(r) for r in np.atleast_1d(np.asarray(rows))
+                if 0 <= int(r) < self.n_rows and self._host_mask[int(r)]]
+        for r in live:
+            self._host_mask[r] = False
+        if live:
+            tile = self._TILE
+            mask = self.dev_mask
+            for ts in sorted({(r // tile) * tile for r in live}):
+                mask = _dus_1d(
+                    mask, jnp.asarray(self._host_mask[ts: ts + tile]),
+                    jnp.int32(ts))
+            self.dev_mask = mask
+        return len(live)
 
     def search(self, queries: np.ndarray, k: int = 10, exact: bool = True,
                method: str | None = None,

@@ -255,11 +255,15 @@ class Gallery:
         else:
             self._mask_cache.clear()  # appends change the validity mask
         if self._cap_view is not None:
-            if existing.size:
-                self._cap_pending.append(
-                    ("rows", int(existing.min()), int(existing.max()) + 1))
+            # EXACT row sets, not covering ranges: replaying a covering
+            # span through view.upsert_rows would mark every row in
+            # between valid — reviving tombstones that sit inside it —
+            # and turn a two-ends write into a near-full re-upload.
+            written = np.unique(rows)
             if len(self._ids) > old_len:
-                self._cap_pending.append(("rows", old_len, len(self._ids)))
+                written = np.union1d(
+                    written, np.arange(old_len, len(self._ids)))
+            self._cap_pending.append(("rows", written))
         self._cap_mask_cache.clear()
         self._patch_resolved(rows)
         self._wseq += 1
@@ -732,8 +736,14 @@ class Gallery:
         try:
             for op in self._cap_pending:
                 if op[0] == "rows":
-                    _, lo, hi = op
-                    view.upsert_rows(lo, self._vectors[lo:hi])
+                    rows = op[1]
+                    run_start = 0  # contiguous runs -> one patch each
+                    for i in range(1, len(rows) + 1):
+                        if i == len(rows) or rows[i] != rows[i - 1] + 1:
+                            lo = int(rows[run_start])
+                            hi = int(rows[i - 1]) + 1
+                            view.upsert_rows(lo, self._vectors[lo:hi])
+                            run_start = i
                 else:
                     view.set_rows_invalid(op[1])
         except ValueError:

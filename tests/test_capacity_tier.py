@@ -104,11 +104,34 @@ def test_capacity_headroom_overflow_rebuilds(rng):
 
     g = Gallery("capovf", dim=DIM)
     _fill(g, rng, 256)
-    # Force a view with zero append headroom.
+    # Force a view with ZERO effective append slack: chunk=256 makes the
+    # padding exactly n (the default 2^18 chunk would leave ~261k rows
+    # of slack and never overflow).
     g._cap_view = CapacitySearcher(g._vectors[:256],
-                                   g._alive[:256].copy(), headroom=0)
+                                   g._alive[:256].copy(), chunk=256,
+                                   headroom=0)
+    assert g._cap_view.capacity_left() == 0
     g._cap_pending.clear()
     extra = _fill(g, rng, 10, start=1000)  # appends exceed headroom
     hits = g.search(extra[3], k=1, method="capacity")[0]
     assert hits[0].id == "p1003"  # rebuilt transparently
     assert g._cap_view.n_rows == 266
+
+
+def test_pending_replay_does_not_revive_tombstones(rng):
+    """The pending-op log must carry EXACT row sets: a covering range
+    replayed through upsert_rows marked every row in between valid,
+    resurrecting deleted points (review finding)."""
+    g = Gallery("caprev", dim=DIM)
+    vecs = _fill(g, rng, 400)
+    g.search(vecs[0], k=1, method="capacity")  # build the view
+    g.delete(ids=["p5"])
+    # One upsert touching rows on BOTH sides of the tombstone.
+    new = rng.normal(size=(2, DIM)).astype(np.float32)
+    g.upsert(["p3", "p7"], new,
+             [Payload(data_type="original_images", class_name="c0",
+                      img_path=f"/c/{i}.png") for i in (3, 7)])
+    hits = g.search(vecs[5], k=1, method="capacity")[0]
+    assert hits[0].id != "p5"  # deleted point must NOT resurface
+    assert g.search(new[0], k=1, method="capacity")[0][0].id == "p3"
+    assert g.search(new[1], k=1, method="capacity")[0][0].id == "p7"

@@ -287,3 +287,27 @@ def test_sharded_ids_of(rng):
     assert s.ids_of(idx)[0][0] == "p11"
     with pytest.raises(ValueError, match="ids"):
         ShardedGallerySearcher(vecs, np.ones(n, bool), mesh).ids_of(idx)
+
+
+def test_sharded_write_preserves_neighbor_mask_state(rng):
+    """Edge-tile writes must not revive tombstoned neighbours or mark
+    padded rows live (review finding: the mask was overwritten for the
+    WHOLE tile, not just the written rows)."""
+    mesh = gallery_mesh(8)
+    n, d = 700, 64
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    s = ShardedGallerySearcher(vectors, np.ones(n, bool), mesh)
+    assert s.delete_rows([3]) == 1
+    # Edge-tile write in the SAME tile as the tombstone.
+    s.upsert_rows(100, rng.normal(size=(1, d)).astype(np.float32))
+    _, idx = s.search(vectors[3], k=1)
+    assert idx[0, 0] != 3  # still tombstoned
+    # Append 1 row: padded rows after it must stay masked out.
+    extra = rng.normal(size=(1, d)).astype(np.float32)
+    s.upsert_rows(s.n_rows, extra)
+    total = s.dev_vectors.shape[0]
+    q = np.zeros(d, np.float32)
+    q[0] = 1e-3  # near-zero query: padded zero rows would score ~0,
+    # beating genuinely-negative rows if their mask leaked to True
+    _, idx = s.search(q, k=10)
+    assert (np.asarray(idx)[0] < s.n_rows).all(), (idx, s.n_rows, total)
