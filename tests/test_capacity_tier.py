@@ -135,3 +135,48 @@ def test_pending_replay_does_not_revive_tombstones(rng):
     assert hits[0].id != "p5"  # deleted point must NOT resurface
     assert g.search(new[0], k=1, method="capacity")[0][0].id == "p3"
     assert g.search(new[1], k=1, method="capacity")[0][0].id == "p7"
+
+
+def test_capacity_random_ops_match_exact_oracle():
+    """Randomised upsert/delete/search interleavings: the capacity
+    tier's top-1 must always match exact search, and tombstoned points
+    must never surface (the mask-revival bug class both review passes
+    caught, generalised)."""
+    rng = np.random.default_rng(77)
+    g = Gallery("capfuzz", dim=DIM)
+    _fill(g, rng, 300)
+    g.search(g._vectors[0], k=1, method="capacity")  # build the view
+    live = {f"p{i}" for i in range(300)}
+    next_id = 1000
+    for step in range(25):
+        op = rng.integers(0, 3)
+        if op == 0:  # upsert: mix of overwrites and appends
+            n_w = int(rng.integers(1, 5))
+            ids = []
+            for _ in range(n_w):
+                if live and rng.random() < 0.5:
+                    ids.append(sorted(live)[int(rng.integers(0, len(live)))])
+                else:
+                    ids.append(f"p{next_id}")
+                    next_id += 1
+            ids = list(dict.fromkeys(ids))
+            vecs = rng.normal(size=(len(ids), DIM)).astype(np.float32)
+            g.upsert(ids, vecs,
+                     [Payload(data_type="original_images",
+                              class_name="c0", img_path=f"/f/{pid}.png")
+                      for pid in ids])
+            live.update(ids)
+        elif op == 1 and len(live) > 5:  # delete some
+            victims = [sorted(live)[int(i)] for i in
+                       rng.integers(0, len(live), size=2)]
+            g.delete(ids=victims)
+            live.difference_update(victims)
+        else:  # search: capacity top-1 == exact top-1
+            target = sorted(live)[int(rng.integers(0, len(live)))]
+            row = g._id_to_row[target]
+            q = g._vectors[row] + 0.001 * rng.normal(size=DIM).astype(
+                np.float32)
+            exact = g.search(q, k=3, method="exact")[0]
+            cap = g.search(q, k=3, method="capacity")[0]
+            assert cap[0].id == exact[0].id == target, (step, target)
+            assert all(h.id in live for h in cap), (step, cap)
