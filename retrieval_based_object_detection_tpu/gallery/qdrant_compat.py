@@ -129,6 +129,10 @@ def make_qdrant_handler(svc):
                 return fn(name)
             except _Bad as e:
                 return self._error(str(e), 400)
+            except ValueError as e:
+                # Store-level validation (shape/dim mismatches, bad
+                # filter fields) is a client error, not a server fault.
+                return self._error(str(e), 400)
             except KeyError as e:
                 return self._error(f"not found: {e}", 404)
             except Exception as e:

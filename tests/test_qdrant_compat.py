@@ -118,6 +118,21 @@ def test_reference_call_sites_over_the_wire(qdrant_api, rng):
              {"filter": {"should": []}})
     assert ei.value.code == 400
 
+    # malformed point bodies -> 400 (not 404/500; review finding).
+    for bad in ({"points": [{"vector": [0.0] * 16}]},      # missing id
+                {"points": [{"id": "x", "vector": [[1], [2]]}]}):  # ragged
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req("PUT", f"{base}/collections/demo/points", bad)
+        assert ei.value.code == 400, bad
+
+    # CollectionInfo carries the full field set qdrant-client validates.
+    info = _req("GET", f"{base}/collections/demo")["result"]
+    for fieldname in ("optimizer_status", "segments_count",
+                      "payload_schema"):
+        assert fieldname in info
+    for sub in ("hnsw_config", "optimizer_config", "wal_config"):
+        assert sub in info["config"]
+
     # delete points then the collection (qdrant_manager.py:104-141).
     _req("POST", f"{base}/collections/demo/points/delete",
          {"points": [f"{0:032x}"]})
