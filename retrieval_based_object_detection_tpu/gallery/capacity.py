@@ -127,7 +127,19 @@ class CapacitySearcher:
                            n_rows: int, ids: list[str] | None = None
                            ) -> "CapacitySearcher":
         """Wrap ALREADY-BUILT device planes (e.g. generated on device by
-        a benchmark, or restored) without a host-side fill pass."""
+        a benchmark, or restored) without a host-side fill pass.
+
+        The plane row count must be a multiple of 256 (the minimum patch
+        tile): ``_tile``/``upsert_rows`` assume the tiles divide the
+        padded rows exactly, and ``dynamic_update_slice`` CLAMPS an
+        out-of-range start — an edge-tile write on a non-divisible view
+        would silently land on the wrong rows (ADVICE r3, confirmed on a
+        300-row view)."""
+        if int(bf16.shape[0]) % 256:
+            raise ValueError(
+                f"plane row count {int(bf16.shape[0])} is not a multiple "
+                "of 256 — pad the planes (the incremental write path "
+                "patches fixed tiles that must divide the row count)")
         obj = cls.__new__(cls)
         obj.n_rows = n_rows
         obj.dim = int(bf16.shape[1])
@@ -205,8 +217,6 @@ class CapacitySearcher:
                 f"write to row {end} exceeds capacity {self._padded}; "
                 "rebuild the view (or build with headroom=)")
         tile = self._tile
-        bf16, packed, scales = (self.dev_bf16, self.dev_packed,
-                                self.dev_scales)
         for ts in range((start // tile) * tile, end, tile):
             te = ts + tile
             if ts >= start and te <= end:
@@ -214,14 +224,18 @@ class CapacitySearcher:
             else:
                 # Edge tile: read back (tile x D bf16 — 4 MB at D=512),
                 # overlay the new rows, re-push the whole tile.
-                staged = np.array(_read_tile(bf16, jnp.int32(ts),
+                staged = np.array(_read_tile(self.dev_bf16, jnp.int32(ts),
                                              tile=tile))  # writable copy
                 lo, hi = max(start, ts), min(end, te)
                 staged[lo - ts: hi - ts] = vectors[lo - start: hi - start]
-            bf16, packed, scales = _fill_chunk(
-                bf16, packed, scales, jnp.asarray(staged), jnp.int32(ts))
-        self.dev_bf16, self.dev_packed, self.dev_scales = (bf16, packed,
-                                                           scales)
+            # Reassign the attributes EVERY iteration: _fill_chunk donates
+            # the old buffers, so holding them in locals across a mid-loop
+            # failure (device OOM on a big multi-tile write) would leave
+            # self.dev_* pointing at deleted arrays and brick the view
+            # (ADVICE r3). A partial write now leaves a usable view.
+            self.dev_bf16, self.dev_packed, self.dev_scales = _fill_chunk(
+                self.dev_bf16, self.dev_packed, self.dev_scales,
+                jnp.asarray(staged), jnp.int32(ts))
         self.n_rows = max(self.n_rows, end)
         self._set_mask_range(start, end, True)
 

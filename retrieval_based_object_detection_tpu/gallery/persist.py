@@ -181,7 +181,25 @@ def _apply_deltas(g: Gallery, snap_id: str | None,
         try:
             vectors, blob = native.snapshot_read(path)
             meta = json.loads(blob.decode())
+        except OSError as e:
+            # TRANSIENT read error (EIO, permissions): the file on disk
+            # may be intact, so never unlink it — poison the chain
+            # instead (snap_id=None) so the next save rewrites the base
+            # and collapses the chain; until then loads serve the data
+            # applied so far (ADVICE r3: one flaky read must not
+            # permanently discard every delta since the base).
+            import sys
+
+            print(f"[gallery] WARNING: IO error reading delta "
+                  f"{path.name}: {e} — chain poisoned, next save "
+                  f"rewrites the base", file=sys.stderr)
+            snap_id = None
+            break
         except Exception as e:
+            # Format/identity corruption: the bytes themselves are bad —
+            # the tail beyond this link is unrecoverable by design and
+            # is pruned below so later saves cannot reuse its sequence
+            # numbers.
             import sys
 
             print(f"[gallery] WARNING: skipping unreadable delta "

@@ -15,6 +15,15 @@ from pathlib import Path
 
 import numpy as np
 
+class SnapshotFormatError(ValueError):
+    """The snapshot BYTES are bad (magic/version mismatch, torn write).
+
+    Distinct from OSError (environmental: cannot open, EIO) so callers
+    can tell unrecoverable corruption from a transient read failure —
+    the delta-replay path prunes the former but must never unlink files
+    on the latter (ADVICE r3)."""
+
+
 _HERE = Path(__file__).resolve().parent
 _SRC = _HERE / "rbod_native.cc"
 _LIB = _HERE / "librbod_native.so"
@@ -142,18 +151,22 @@ def snapshot_header(path: str | Path) -> tuple[int, int, int]:
     lib = _load()
     if lib is None:
         with open(path, "rb") as f:
-            magic, version, rows, dim, pb = _HEADER.unpack(
-                f.read(_HEADER.size))
+            hdr = f.read(_HEADER.size)
+        if len(hdr) < _HEADER.size:
+            raise SnapshotFormatError(f"truncated snapshot header: {path}")
+        magic, version, rows, dim, pb = _HEADER.unpack(hdr)
         if magic != _MAGIC or version != _VERSION:
-            raise OSError(f"bad snapshot header: {path}")
+            raise SnapshotFormatError(f"bad snapshot header: {path}")
         return rows, dim, pb
     rows = ctypes.c_int64()
     dim = ctypes.c_int64()
     pb = ctypes.c_int64()
     rc = lib.snapshot_header(str(path).encode(), ctypes.byref(rows),
                              ctypes.byref(dim), ctypes.byref(pb))
-    if rc != 0:
-        raise OSError(f"snapshot_header failed rc={rc}: {path}")
+    if rc == 2:  # bad magic/version/short header: the bytes are bad
+        raise SnapshotFormatError(f"bad snapshot header: {path}")
+    if rc != 0:  # rc=1: open failed (missing file, permissions, EIO)
+        raise OSError(f"cannot open snapshot rc={rc}: {path}")
     return rows.value, dim.value, pb.value
 
 
@@ -166,8 +179,10 @@ def snapshot_read(path: str | Path) -> tuple[np.ndarray, bytes]:
     pb = ctypes.c_int64()
     rc = lib.snapshot_header(str(path).encode(), ctypes.byref(rows),
                              ctypes.byref(dim), ctypes.byref(pb))
+    if rc == 2:
+        raise SnapshotFormatError(f"bad snapshot header: {path}")
     if rc != 0:
-        raise OSError(f"snapshot_header failed rc={rc}: {path}")
+        raise OSError(f"cannot open snapshot rc={rc}: {path}")
     vectors = np.empty((rows.value, dim.value), np.float32)
     blob = np.empty(pb.value, np.uint8)
     rc = lib.snapshot_read(
@@ -198,9 +213,12 @@ def _snapshot_write_py(path, vectors, payload_blob):
 
 def _snapshot_read_py(path):
     with open(path, "rb") as f:
-        magic, version, rows, dim, pb = _HEADER.unpack(f.read(_HEADER.size))
+        hdr = f.read(_HEADER.size)
+        if len(hdr) < _HEADER.size:
+            raise SnapshotFormatError(f"truncated snapshot header: {path}")
+        magic, version, rows, dim, pb = _HEADER.unpack(hdr)
         if magic != _MAGIC or version != _VERSION:
-            raise OSError(f"bad snapshot header: {path}")
+            raise SnapshotFormatError(f"bad snapshot header: {path}")
         blob = f.read(pb)
         vectors = np.frombuffer(f.read(rows * dim * 4), np.float32
                                 ).reshape(rows, dim).copy()

@@ -161,9 +161,14 @@ class RetrievalDetector:
             try:
                 recs = self.gallery.scroll_all(flt, with_vectors=True)
             except Exception:
-                if strict:
+                if strict or self._snap is None:
                     raise
-                recs = []
+                # A FAILED scroll (transient gallery/transport error) is
+                # not an observation of the gallery's state: keep the OLD
+                # seq so the very next detect retries the reload. Stamping
+                # the new seq here permanently suppressed auto_reload
+                # until an unrelated mutation bumped it (ADVICE r3).
+                return len(self._snap[0])
             if not recs:
                 if strict or self._snap is None:
                     raise ValueError(

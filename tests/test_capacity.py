@@ -251,3 +251,51 @@ def test_batched_delete_single_tile_pass(rng):
     assert s.ids_of(idx)[0][0] != "p2"
     _, idx = s.search(vecs[3], k=1)
     assert s.ids_of(idx)[0][0] == "p3"
+
+
+def test_from_device_planes_rejects_unaligned_rows(rng):
+    """Plane row counts that no tile divides must raise, not silently
+    misplace edge-tile writes (dynamic_update_slice clamps out-of-range
+    starts — ADVICE r3, confirmed corrupting a different row)."""
+    import jax.numpy as jnp
+
+    with pytest.raises(ValueError, match="multiple of 256"):
+        CapacitySearcher.from_device_planes(
+            jnp.zeros((300, DIM), jnp.bfloat16),
+            jnp.zeros((300, DIM // 2), jnp.int8),
+            jnp.zeros(300, jnp.float32),
+            np.ones(300, bool), 300)
+
+
+def test_midloop_write_failure_leaves_usable_view(rng, monkeypatch):
+    """_fill_chunk donates the old buffers; a failure partway through a
+    multi-tile write must leave self.dev_* on the LIVE buffers (ADVICE
+    r3: the old code assigned only after the loop, so the view was
+    bricked by any mid-loop error)."""
+    from retrieval_based_object_detection_tpu.gallery import capacity
+
+    n = 600
+    vecs = _vectors(rng, n)
+    s = CapacitySearcher(vecs, np.ones(n, bool), chunk=256)
+    real = capacity._fill_chunk
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated device OOM")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(capacity, "_fill_chunk", flaky)
+    new = _vectors(rng, 520)  # spans >2 tiles at tile=256
+    with pytest.raises(RuntimeError, match="simulated"):
+        s.upsert_rows(0, new)
+    monkeypatch.setattr(capacity, "_fill_chunk", real)
+    # The view must still answer queries (buffers are live, consistent).
+    q = _vectors(rng, 2)
+    scores, idx = s.search(q, k=5)
+    assert np.isfinite(scores).all()
+    # And a retried write completes.
+    s.upsert_rows(0, new)
+    _, idx = s.search(new[10], k=1)
+    assert idx[0, 0] == 10

@@ -61,8 +61,12 @@ def test_snapshot_empty_gallery(tmp_path):
 def test_snapshot_bad_file(tmp_path):
     bad = tmp_path / "bad.rbod"
     bad.write_bytes(b"garbage")
-    with pytest.raises(OSError):
+    # Corrupt BYTES raise the format error (so delta replay prunes);
+    # a missing file stays OSError (environmental -> never prune).
+    with pytest.raises(native.SnapshotFormatError):
         native.snapshot_read(bad)
+    with pytest.raises(OSError):
+        native.snapshot_read(tmp_path / "missing.rbod")
 
 
 def test_gallery_persist_uses_rbod(tmp_path, rng):

@@ -379,3 +379,35 @@ def test_http_reload_endpoint(rng):
         assert sorted(det.classes) == ["green", "red"]
     finally:
         srv.shutdown()
+
+
+def test_failed_reload_keeps_old_seq_and_retries(rng):
+    """A TRANSIENT scroll error during auto-reload must not stamp the
+    observed write_seq — otherwise one flaky reload permanently
+    suppressed auto_reload until an unrelated mutation (ADVICE r3)."""
+    params = init_params(TINY, seed=0)
+    gallery = Gallery("flaky", dim=TINY.embed_dim)
+    _embed_class(gallery, params, "red", (210, 40, 40), rng)
+    dp.build_delegates(gallery)
+    det = SV.RetrievalDetector(params, gallery, TINY)
+    assert det.classes == ["red"]
+
+    # New class lands (seq bumps), but the reload scroll fails once.
+    _embed_class(gallery, params, "green", (40, 200, 40), rng)
+    dp.build_delegates(gallery)
+    real = gallery.scroll_all
+    state = {"fail": True}
+
+    def flaky(*a, **kw):
+        if state["fail"]:
+            state["fail"] = False
+            raise ConnectionError("transient")
+        return real(*a, **kw)
+
+    gallery.scroll_all = flaky
+    img = product_photo((40, 200, 40), rng)
+    out = det.detect(img[None])[0]     # reload fails -> serves old snap
+    assert out["class_name"] == "red"
+    out2 = det.detect(img[None])[0]    # RETRIES (old seq kept) -> fresh
+    assert "green" in det.classes
+    assert out2["class_name"] == "green"

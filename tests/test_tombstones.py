@@ -361,3 +361,50 @@ def test_resolved_duplicate_promotes_on_overwrite(rng, tmp_path):
              [Payload(data_type="original_images", class_name="c",
                       img_path="/elsewhere.png")])
     assert g.get_by_path(str(img)).id == "b"
+
+
+def test_delta_io_error_poisons_chain_without_unlink(rng, tmp_path,
+                                                    monkeypatch):
+    """A transient READ error (EIO) on a delta must not unlink intact
+    files — poison the chain instead so the next save rewrites the base
+    (ADVICE r3: one flaky read permanently discarded every delta)."""
+    store = VectorStore()
+    g = store.create_collection("eio", dim=16)
+    ids, vecs, pls = _mk(rng, 60)
+    g.upsert(ids, vecs, pls)
+    persist.save_store(store, tmp_path)
+    for val in (1.0, 2.0):
+        g.upsert(["id0"], np.full((1, 16), val, np.float32), [pls[0]])
+        persist.save_store(store, tmp_path)
+    assert (tmp_path / "eio.rbod.d1").exists()
+    assert (tmp_path / "eio.rbod.d2").exists()
+
+    real = persist.native.snapshot_read
+
+    def flaky(path):
+        if str(path).endswith(".d1"):
+            raise OSError(5, "Input/output error")
+        return real(path)
+
+    monkeypatch.setattr(persist.native, "snapshot_read", flaky)
+    s2 = persist.load_store(tmp_path)
+    g2 = s2.get("eio")
+    # Replay stopped before d1: base state served, files NOT deleted.
+    np.testing.assert_allclose(g2.retrieve(["id0"])[0].vector, vecs[0])
+    assert (tmp_path / "eio.rbod.d1").exists()
+    assert (tmp_path / "eio.rbod.d2").exists()
+    assert g2._snap_id is None  # poisoned
+
+    # With the disk healthy again, an untouched reload sees everything.
+    monkeypatch.setattr(persist.native, "snapshot_read", real)
+    g3 = persist.load_store(tmp_path).get("eio")
+    np.testing.assert_allclose(g3.retrieve(["id0"])[0].vector,
+                               np.full(16, 2.0))
+
+    # The poisoned gallery's next save rewrites the base (chain collapse).
+    g2.upsert(["id0"], np.full((1, 16), 9.0, np.float32), [pls[0]])
+    persist.save_store(s2, tmp_path)
+    assert not list(tmp_path.glob("eio.rbod.d*"))
+    g4 = persist.load_store(tmp_path).get("eio")
+    np.testing.assert_allclose(g4.retrieve(["id0"])[0].vector,
+                               np.full(16, 9.0))
