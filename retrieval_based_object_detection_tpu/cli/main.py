@@ -545,7 +545,8 @@ def cmd_gallery_server(args) -> int:
     from retrieval_based_object_detection_tpu.gallery.server import serve
 
     srv = serve(args.store, host=args.host, port=args.port,
-                api=getattr(args, "api", "native"))
+                api=getattr(args, "api", "native"),
+                mesh_devices=getattr(args, "mesh_devices", 0))
     print(f"gallery service on http://{args.host}:{srv.server_address[1]} "
           f"(store: {args.store}, api: {getattr(args, 'api', 'native')})")
     # Container orchestrators stop with SIGTERM, not Ctrl-C — route it
@@ -1226,6 +1227,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="'qdrant' serves the Qdrant wire-compatible "
                          "REST facade (the reference's qdrant-client "
                          "call sites work unchanged)")
+    sp.add_argument("--mesh-devices", type=int, default=0,
+                    dest="mesh_devices",
+                    help="shard every cosine collection over an N-device "
+                         "gallery mesh (-1 = all visible devices); "
+                         "searches route through the ICI-sharded tier")
 
     sp = add("convert-weights", cmd_convert_weights,
              help="torch checkpoint -> orbax dir (clip or sam)")

@@ -47,7 +47,8 @@ def _filter_from(body: dict) -> Filter | None:
 class GalleryService:
     """Lock-guarded operations over a persistent VectorStore."""
 
-    def __init__(self, root: str | Path, mmap_vectors: bool = True):
+    def __init__(self, root: str | Path, mmap_vectors: bool = True,
+                 mesh_devices: int = 0):
         from retrieval_based_object_detection_tpu.gallery.persist import (
             load_store,
             save_store,
@@ -60,6 +61,20 @@ class GalleryService:
         # first use (persist.load_gallery docstring).
         self.store: VectorStore = load_store(self.root,
                                              mmap_vectors=mmap_vectors)
+        if mesh_devices:
+            # Multi-chip serving: shard every cosine collection's rows
+            # over a gallery mesh — searches auto-route through the
+            # sharded tier behind the same API (store.attach_mesh).
+            # mesh_devices=-1 uses every visible device.
+            import jax
+
+            from retrieval_based_object_detection_tpu.parallel.mesh import (
+                gallery_mesh,
+            )
+
+            n = (jax.device_count() if mesh_devices < 0
+                 else min(mesh_devices, jax.device_count()))
+            self.store.attach_mesh(gallery_mesh(n))
         self.lock = threading.RLock()
 
     def snapshot(self) -> dict:
@@ -288,7 +303,8 @@ def make_handler(svc: GalleryService):
 
 def serve(root: str | Path, host: str = "0.0.0.0", port: int = 6333,
           mmap_vectors: bool = True,
-          api: str = "native") -> ThreadingHTTPServer:
+          api: str = "native",
+          mesh_devices: int = 0) -> ThreadingHTTPServer:
     """Start the gallery service (port 6333 mirrors Qdrant's). Returns the
     server; the caller runs serve_forever and calls service.snapshot() on
     shutdown.
@@ -296,8 +312,11 @@ def serve(root: str | Path, host: str = "0.0.0.0", port: int = 6333,
     ``api="qdrant"`` serves the Qdrant wire-compatible REST façade
     instead of the native API (gallery/qdrant_compat.py) — the
     reference's own qdrant-client call sites work against it unchanged.
+    ``mesh_devices`` > 0 (or -1 for all visible devices) serves every
+    cosine collection through the ICI-sharded tier.
     """
-    svc = GalleryService(root, mmap_vectors=mmap_vectors)
+    svc = GalleryService(root, mmap_vectors=mmap_vectors,
+                         mesh_devices=mesh_devices)
     if api == "qdrant":
         from retrieval_based_object_detection_tpu.gallery.qdrant_compat import (
             make_qdrant_handler,
