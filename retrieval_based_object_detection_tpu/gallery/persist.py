@@ -27,6 +27,57 @@ from retrieval_based_object_detection_tpu.gallery.store import Gallery, VectorSt
 # an ever-longer replay chain).
 DELTA_MAX_CHURN_FRACTION = 0.25
 
+# Base snapshots use the format-3 BINARY meta blob: a small JSON header
+# (identity, decode tables, section offsets) followed by raw sections —
+# fixed-width id table, int32 code columns, packbit bools, NUL-joined
+# paths. Restart no longer JSON-parses millions of strings or builds the
+# id/path dicts (lazy); with mmap the id/path bytes aren't even read
+# until first use. Deltas (small row counts) keep the v2 JSON body.
+_B3_MAGIC = b"RBM3"
+
+
+def _pack_meta3(header: dict, sections: list[tuple[str, bytes]]) -> bytes:
+    """MAGIC | u32 json_len | json | pad | 8-aligned sections. The
+    json's ``sections`` map holds [offset, len] RELATIVE to the data
+    region (which starts at the first 8-aligned byte after the json),
+    so section offsets never depend on the json's own size."""
+    import struct
+
+    hdr = dict(header)
+    secmap = {}
+    off = 0
+    for name, data in sections:
+        secmap[name] = [off, len(data)]
+        off = (off + len(data) + 7) // 8 * 8
+    hdr["sections"] = secmap
+    js = json.dumps(hdr).encode()
+    out = bytearray()
+    out += _B3_MAGIC
+    out += struct.pack("<I", len(js))
+    out += js
+    data_base = (len(out) + 7) // 8 * 8
+    for name, data in sections:
+        start = data_base + secmap[name][0]
+        out += b"\x00" * (start - len(out))
+        out += data
+    return bytes(out)
+
+
+def _parse_meta3(blob) -> tuple[dict, "callable"]:
+    """(header, get_section). ``blob`` is bytes (eager) or a memoryview
+    over the snapshot mmap (sections stay unread until sliced)."""
+    import struct
+
+    (jlen,) = struct.unpack_from("<I", blob, 4)
+    hdr = json.loads(bytes(blob[8:8 + jlen]).decode())
+    data_base = (8 + jlen + 7) // 8 * 8
+
+    def get(name):
+        off, ln = hdr["sections"][name]
+        return blob[data_base + off: data_base + off + ln]
+
+    return hdr, get
+
 
 def _delta_paths(name: str, root: Path) -> list[tuple[int, Path]]:
     out = []
@@ -96,18 +147,26 @@ def save_gallery(gallery: Gallery, root: str | Path,
     import uuid
 
     snap_id = uuid.uuid4().hex
-    # Format 2: columnar payloads (base64 numpy buffers + decode tables)
-    # — ~10× faster than per-row payload dicts at 6-figure row counts.
+    # Format 3: binary meta — small JSON header + raw id table/column
+    # sections (see _pack_meta3). Loads slice the sections zero-copy and
+    # defer the id/path dict builds; measured restart at 1M went from
+    # JSON-parse-bound seconds to header-read milliseconds.
+    ids_b = [s.encode("utf-8") for s in gallery._ids]
+    id_width = max((len(b) for b in ids_b), default=1) or 1
+    ids_arr = np.array(ids_b, dtype=f"S{id_width}") if ids_b else \
+        np.zeros(0, dtype=f"S{id_width}")
+    col_hdr, sections = gallery._payloads.export_binary(n)
     meta = {
-        "format": 2,
+        "format": 3,
         "snapshot_id": snap_id,
         "name": gallery.name,
         "dim": gallery.dim,
         "distance": gallery.distance,
-        "ids": list(gallery._ids),
-        "columns": gallery._payloads.export_columns(n),
+        "n": n,
+        "id_width": id_width,
+        "decode": col_hdr["decode"],
     }
-    blob = json.dumps(meta).encode()
+    blob = _pack_meta3(meta, [("ids", ids_arr.tobytes())] + sections)
     tmp = root / f".{gallery.name}.rbod.tmp"
     native.snapshot_write(tmp, gallery._vectors[:n], blob)
     os.replace(tmp, base)
@@ -134,13 +193,32 @@ def load_gallery(name: str, root: str | Path,
     rbod = root / f"{name}.rbod"
     if rbod.exists() and mmap_vectors:
         rows, dim, pb = native.snapshot_header(rbod)
-        with open(rbod, "rb") as f:
-            f.seek(32)
-            meta = json.loads(f.read(pb).decode())
         vectors = np.memmap(rbod, dtype=np.float32, mode="c",
                             offset=32 + pb, shape=(rows, dim))
+        with open(rbod, "rb") as f:
+            f.seek(32)
+            magic = f.read(4)
+            if magic == _B3_MAGIC:
+                # Format 3 + mmap: map the META region too — the id
+                # table and path bytes are sliced as memoryviews and
+                # only PAGE IN when first touched (the load itself
+                # reads the small JSON header + the code/bool columns).
+                import mmap as _mmap
+
+                f.seek(0)
+                mm = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+                blob = memoryview(mm)[32:32 + pb]
+                hdr, get = _parse_meta3(blob)
+                g = _gallery_from_binary(name, hdr, get, vectors)
+                return _apply_deltas(g, hdr.get("snapshot_id"), root)
+            f.seek(32)
+            meta = json.loads(f.read(pb).decode())
     elif rbod.exists():
         vectors, blob = native.snapshot_read(rbod)
+        if blob[:4] == _B3_MAGIC:
+            hdr, get = _parse_meta3(blob)
+            g = _gallery_from_binary(name, hdr, get, vectors)
+            return _apply_deltas(g, hdr.get("snapshot_id"), root)
         meta = json.loads(blob.decode())
     else:  # legacy npz+json layout
         with open(root / f"{name}.json") as f:
@@ -250,21 +328,11 @@ def _apply_deltas(g: Gallery, snap_id: str | None,
     return g
 
 
-def _gallery_from_columns(name: str, meta: dict,
-                          vectors: np.ndarray) -> Gallery:
-    """Direct columnar reconstruction — no per-row Payload objects."""
-    from retrieval_based_object_detection_tpu.gallery.schema import (
-        PayloadColumns,
-    )
-
-    ids = meta["ids"]
-    n = len(ids)
-    dim = int(meta["dim"])
-    # Build the Gallery around the snapshot's own (writable) vector buffer
-    # instead of Gallery.__init__'s fresh allocation + full copy — at
-    # 1M×512 that saves a transient 2 GB allocation and a 2 GB memcpy.
-    g = Gallery(name, dim=dim, capacity=1,
-                distance=meta.get("distance", "cosine"))
+def _adopt_vectors(g: Gallery, vectors: np.ndarray, n: int,
+                   dim: int) -> None:
+    """Build the Gallery around the snapshot's own (writable) vector
+    buffer instead of a fresh allocation + full copy — at 1M×512 that
+    saves a transient 2 GB allocation and memcpy. COW memmaps qualify."""
     if n >= 1024 and vectors.shape == (n, dim) and vectors.flags.writeable:
         if not (vectors.dtype == np.float32
                 and vectors.flags.c_contiguous):
@@ -278,8 +346,48 @@ def _gallery_from_columns(name: str, meta: dict,
     # The ctor allocated for capacity=1; the adopted buffer needs a
     # matching tombstone mask (delta replay may delete immediately).
     g._alive = np.ones(g._capacity, dtype=bool)
+
+
+def _gallery_from_binary(name: str, hdr: dict, get_section,
+                         vectors: np.ndarray) -> Gallery:
+    """Format-3 reconstruction: zero string parsing, LAZY ids/id-map/
+    path-index (store.Gallery properties + PayloadColumns._ensure_paths
+    materialise on first use). The load itself touches only the JSON
+    header and the int32/bool column bytes."""
+    from retrieval_based_object_detection_tpu.gallery.schema import (
+        PayloadColumns,
+    )
+
+    n = int(hdr["n"])
+    dim = int(hdr["dim"])
+    g = Gallery(name, dim=dim, capacity=1,
+                distance=hdr.get("distance", "cosine"))
+    _adopt_vectors(g, vectors, n, dim)
+    g._ids_arr = np.frombuffer(get_section("ids"),
+                               dtype=f"S{int(hdr['id_width'])}", count=n)
+    g._ids_list = None  # lazy list
+    g._id_map = None    # lazy dict
+    cols = PayloadColumns.import_binary(hdr, get_section, n)
+    cols.grow(g._capacity)  # no-op when capacities already match
+    g._payloads = cols
+    return g
+
+
+def _gallery_from_columns(name: str, meta: dict,
+                          vectors: np.ndarray) -> Gallery:
+    """Direct columnar reconstruction — no per-row Payload objects."""
+    from retrieval_based_object_detection_tpu.gallery.schema import (
+        PayloadColumns,
+    )
+
+    ids = meta["ids"]
+    n = len(ids)
+    dim = int(meta["dim"])
+    g = Gallery(name, dim=dim, capacity=1,
+                distance=meta.get("distance", "cosine"))
+    _adopt_vectors(g, vectors, n, dim)
     g._ids = list(ids)
-    g._id_to_row = dict(zip(ids, range(n)))  # C-speed build (profiled)
+    g._id_map = None  # lazy dict build (~0.4 s/1M ids when eager)
     cols = PayloadColumns.import_columns(meta["columns"], n)
     cols.grow(g._capacity)  # no-op when capacities already match
     g._payloads = cols
