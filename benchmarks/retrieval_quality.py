@@ -173,10 +173,73 @@ def _tiny_config(size: int = 64):
                             layers=4, heads=4, embed_dim=64)
 
 
+def tier_fidelity(gallery, g_root: Path, t_root: Path, k: int = 10
+                  ) -> dict[str, dict[str, float]]:
+    """Quantised-tier fidelity ON THE TRAINED DISTRIBUTION (VERDICT r3
+    weak #4): class-structured embeddings have *systematic* within-class
+    near-ties — the adversarial case for 4-bit resolution that random
+    unit vectors (the DESIGN 'Gallery scan' numbers) don't exercise.
+
+    For each serving tier (int8 / int4 / capacity), using the held-out
+    test vectors as queries against the gallery members + delegates
+    already in the store:
+      * ``topk_agreement``: mean |tier top-k ∩ exact top-k| / k over the
+        member rows (the near-tie stress);
+      * ``top1_parity``: fraction of queries whose nearest-delegate
+        classification (33_run_all_experiments.py:150-152) matches the
+        exact tier's prediction — classification outcome is the
+        product; the tiers must preserve it on real data;
+      * ``top1_acc``: tier classification accuracy vs ground truth.
+    """
+    from retrieval_based_object_detection_tpu.gallery.schema import Filter
+    from retrieval_based_object_detection_tpu.gallery.store import Gallery
+
+    # Split the store's rows: members+delegates stay searchable, the
+    # held-out test vectors become queries (they must not appear as
+    # search targets — top-1 would trivially be self).
+    g_prefix, t_prefix = str(g_root), str(t_root)
+    fid = Gallery("rq_fid", dim=gallery.dim)
+    queries, truths = [], []
+    for rec in gallery.scroll_all(with_vectors=True):
+        if not rec.payload.is_delegate \
+                and rec.payload.img_path.startswith(t_prefix):
+            queries.append(rec.vector)
+            truths.append(rec.payload.class_name)
+        else:
+            fid.upsert([rec.id], rec.vector[None], [rec.payload])
+    qs = np.stack(queries)
+    member_flt = Filter(must={"is_delegate": False})
+    dlg_flt = Filter(must={"is_delegate": True, "delegate_type": "average"})
+
+    def run(method):
+        topk = fid.search(qs, k=k, flt=member_flt, method=method)
+        cls = fid.search(qs, k=1, flt=dlg_flt, method=method)
+        return ([{h.id for h in hits} for hits in topk],
+                [hits[0].payload.class_name for hits in cls])
+
+    exact_topk, exact_cls = run("exact")
+    out: dict[str, dict[str, float]] = {}
+    for method in ("int8", "int4", "capacity"):
+        t_topk, t_cls = run(method)
+        out[method] = {
+            "topk_agreement": float(np.mean(
+                [len(a & b) / max(len(b), 1)
+                 for a, b in zip(t_topk, exact_topk)])),
+            "top1_parity": float(np.mean(
+                [a == b for a, b in zip(t_cls, exact_cls)])),
+            "top1_acc": float(np.mean(
+                [a == t for a, t in zip(t_cls, truths)])),
+        }
+    out["exact"] = {"topk_agreement": 1.0, "top1_parity": 1.0,
+                    "top1_acc": float(np.mean(
+                        [a == t for a, t in zip(exact_cls, truths)]))}
+    return out
+
+
 def _classify(tower_params, clip_cfg, g_root: Path, t_root: Path,
-              batch_size: int = 32) -> dict[str, float]:
+              batch_size: int = 32) -> tuple[dict[str, float], "object"]:
     """embed gallery -> delegates -> embed held-out tests ->
-    nearest-mode experiments -> top-1 per delegate type."""
+    nearest-mode experiments -> (top-1 per delegate type, gallery)."""
     from retrieval_based_object_detection_tpu.gallery.store import Gallery
     from retrieval_based_object_detection_tpu.pipelines import (
         delegates as dp,
@@ -205,13 +268,14 @@ def _classify(tower_params, clip_cfg, g_root: Path, t_root: Path,
             [r.predicted_class == r.true_class for r in rows]))
     acc["mean_score"] = float(np.mean(
         [r.similarity_score for r in out.rows]))
-    return acc
+    return acc, gallery
 
 
 def evaluate(tmp_dir: str | None = None, epochs: int = 18,
              n_gallery: int = 24, n_aug: int = 6, n_test: int = 12,
              seed: int = 0, batch_size: int = 32,
-             classes: list[str] | None = None) -> dict:
+             classes: list[str] | None = None,
+             n_fidelity_members: int = 250) -> dict:
     """Defaults are the headline configuration: trained top-1
     0.84-0.85 per delegate type vs 0.11-0.21 floor (n_aug sweep:
     2→0.72, 4→0.79, 6→0.85 — training-domain diversity is the binding
@@ -253,10 +317,42 @@ def evaluate(tmp_dir: str | None = None, epochs: int = 18,
         tower = jax.device_get(trained_params["tower"])
         floor_tower = M.init_params(clip_cfg, seed=seed)
 
-        trained = _classify(tower, clip_cfg, g_root, t_root, batch_size)
-        floor = _classify(floor_tower, clip_cfg, g_root, t_root,
-                          batch_size)
-        return {"trained": trained, "floor": floor,
+        trained, trained_gallery = _classify(tower, clip_cfg, g_root,
+                                             t_root, batch_size)
+        floor, _ = _classify(floor_tower, clip_cfg, g_root, t_root,
+                             batch_size)
+        # Serving-tier fidelity on the TRAINED class-structured
+        # distribution (within-class near-ties — the 4-bit stress).
+        # The member pool must EXCEED the tiers' rescore depth (256),
+        # or every candidate is exactly rescored and the quantised scan
+        # order is never exercised: render extra same-distribution
+        # members and embed them with the trained tower (no extra
+        # training — cheap, and the distribution stays honest).
+        if n_fidelity_members:
+            from retrieval_based_object_detection_tpu.pipelines import (
+                embed as em,
+            )
+
+            f_root = tmp / "fid" / "dataset_cropped"
+            specs = ({c: CLASS_SPECS[c] for c in classes} if classes
+                     else CLASS_SPECS)
+            frng = np.random.default_rng(seed + 1234)
+            from PIL import Image
+
+            for cls, spec in specs.items():
+                d = f_root / "natural_images" / cls
+                d.mkdir(parents=True, exist_ok=True)
+                for i in range(n_fidelity_members):
+                    Image.fromarray(render_product(
+                        frng, spec, natural=True, size=clip_cfg.image_size)
+                    ).save(d / f"f{i}.png")
+            em.embed_tree(trained_gallery, em.make_encoder(tower, clip_cfg),
+                          em.EmbedConfig(root_dir=str(f_root),
+                                         img_type="natural",
+                                         batch_size=batch_size,
+                                         image_size=clip_cfg.image_size))
+        tiers = tier_fidelity(trained_gallery, g_root, t_root)
+        return {"trained": trained, "floor": floor, "tiers": tiers,
                 "train": train_metrics,
                 "n_test": n_test * len(classes or CLASS_SPECS)}
     finally:
@@ -277,6 +373,13 @@ def main():
             f"{d}={row[d]:.3f}" for d in
             ("average", "centroid", "weighted", "medoid"))
             + f"  mean_cos={row['mean_score']:.3f}")
+    print("serving-tier fidelity on the trained distribution "
+          "(vs exact, k=10):")
+    for m in ("exact", "int8", "int4", "capacity"):
+        t = res["tiers"][m]
+        print(f"  {m:9s}: top10_agreement={t['topk_agreement']:.4f}  "
+              f"top1_parity={t['top1_parity']:.4f}  "
+              f"top1_acc={t['top1_acc']:.3f}")
 
 
 if __name__ == "__main__":
