@@ -99,7 +99,12 @@ def _request(method: str, url: str, body: dict | None = None,
 
 
 def _filter_body(flt: Filter | None) -> dict:
-    return {"filter": dict(flt.must)} if flt is not None else {}
+    if flt is None:
+        return {}
+    out: dict = {"filter": dict(flt.must)}
+    if getattr(flt, "must_not", None):
+        out["filter_not"] = dict(flt.must_not)
+    return out
 
 
 class GalleryClient:

@@ -15,10 +15,13 @@ which speaks the same wire format to real Qdrant servers) migrates
 collections out of this façade byte-for-byte (tests/test_qdrant_compat).
 
 Subset notes:
-  * filters: conjunctive ``must`` of ``{"key", "match": {"value"}}``
-    conditions — the only shape the reference issues (32:104-131,
-    33:117-137). ``should``/``must_not``/ranges are rejected with a
-    clear error rather than silently misfiltered.
+  * filters: conjunctive ``must`` AND ``must_not`` of
+    ``{"key", "match": {"value"}}`` conditions — ``must`` is the only
+    shape the reference issues (32:104-131, 33:117-137); ``must_not``
+    (Qdrant semantics: exclude rows matching ANY negative condition)
+    rides the same columnar mask path. ``should``/ranges are rejected
+    with a clear error rather than silently misfiltered — a client
+    needing them is outside this facade's compatibility claim.
   * scroll offsets are opaque integer tokens in ``next_page_offset``
     (clients pass them back verbatim, as with real Qdrant's id tokens).
   * distances map Cosine/Euclid/Dot/Manhattan onto the store's four
@@ -51,19 +54,26 @@ def _filter_from_qdrant(body: dict) -> Filter | None:
     flt = body.get("filter")
     if not flt:
         return None
-    extra = set(flt) - {"must"}
+    extra = set(flt) - {"must", "must_not"}
     if extra:
         raise _Bad(f"unsupported filter clauses {sorted(extra)}: this "
-                   "facade serves the reference's conjunctive "
-                   "must/match subset")
-    must: dict = {}
-    for cond in flt.get("must", []):
-        if "key" not in cond or "match" not in cond \
-                or "value" not in cond["match"]:
-            raise _Bad(f"unsupported filter condition {cond!r}: expected "
-                       '{"key": ..., "match": {"value": ...}}')
-        must[cond["key"]] = cond["match"]["value"]
-    return Filter(must=must) if must else None
+                   "facade serves conjunctive must/must_not match "
+                   "conditions (should/range are not implemented)")
+
+    def conds(clause: str) -> dict:
+        out: dict = {}
+        for cond in flt.get(clause, []):
+            if "key" not in cond or "match" not in cond \
+                    or "value" not in cond["match"]:
+                raise _Bad(f"unsupported filter condition {cond!r}: "
+                           'expected {"key": ..., "match": '
+                           '{"value": ...}}')
+            out[cond["key"]] = cond["match"]["value"]
+        return out
+
+    must, must_not = conds("must"), conds("must_not")
+    return Filter(must=must, must_not=must_not) \
+        if (must or must_not) else None
 
 
 def _point_out(p: dict, with_payload: bool, with_vector: bool) -> dict:
@@ -264,6 +274,8 @@ def make_qdrant_handler(svc):
                    "with_vectors": bool(body.get("with_vector", False))}
             if flt:
                 req["filter"] = dict(flt.must)
+                if flt.must_not:
+                    req["filter_not"] = dict(flt.must_not)
             out = svc.scroll(name, req)
             with_payload = bool(body.get("with_payload", True))
             with_vector = bool(body.get("with_vector", False))
@@ -276,7 +288,12 @@ def make_qdrant_handler(svc):
         def _post_points_count(self, name):
             body = self._body()
             flt = _filter_from_qdrant(body)
-            out = svc.count(name, {"filter": dict(flt.must)} if flt else {})
+            req = {}
+            if flt:
+                req["filter"] = dict(flt.must)
+                if flt.must_not:
+                    req["filter_not"] = dict(flt.must_not)
+            out = svc.count(name, req)
             self._send({"count": out["count"]})
 
         def _post_points_search(self, name):
@@ -289,6 +306,8 @@ def make_qdrant_handler(svc):
                 "k": int(body.get("limit", 10)),
                 "with_vectors": bool(body.get("with_vector", False)),
                 **({"filter": dict(flt.must)} if flt else {}),
+                **({"filter_not": dict(flt.must_not)}
+                   if flt and flt.must_not else {}),
             })
             with_payload = bool(body.get("with_payload", True))
             with_vector = bool(body.get("with_vector", False))
@@ -305,6 +324,8 @@ def make_qdrant_handler(svc):
             flt = _filter_from_qdrant(body)
             if flt:
                 req["filter"] = dict(flt.must)
+                if flt.must_not:
+                    req["filter_not"] = dict(flt.must_not)
             if not req:
                 raise _Bad('expected "points" ids or "filter"')
             svc.delete_points(name, req)

@@ -41,7 +41,10 @@ from retrieval_based_object_detection_tpu.gallery.store import VectorStore
 
 def _filter_from(body: dict) -> Filter | None:
     flt = body.get("filter")
-    return Filter(must=flt) if flt else None
+    flt_not = body.get("filter_not")
+    if not flt and not flt_not:
+        return None
+    return Filter(must=flt or {}, must_not=flt_not or {})
 
 
 class GalleryService:

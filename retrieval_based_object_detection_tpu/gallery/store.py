@@ -846,8 +846,7 @@ class Gallery:
         The experiment grid reuses a small closed set of filters
         (SURVEY.md §7 hard part 1); caching removes the per-query O(N)
         host mask build + bool H2D upload the round-1 path paid."""
-        key = None if flt is None else tuple(
-            sorted(flt.must.items(), key=lambda kv: kv[0]))
+        key = None if flt is None else flt.cache_key()
         cached = self._mask_cache.get(key)
         if cached is not None:
             return cached
@@ -981,7 +980,7 @@ class Gallery:
 
         view = self._shard_view
         total = view.dev_vectors.shape[0]
-        key = tuple(sorted(flt.must.items(), key=lambda kv: kv[0]))
+        key = flt.cache_key()
         cached = self._shard_mask_cache.get(key)
         if cached is not None and cached.shape[0] == total:
             return cached
@@ -1041,7 +1040,7 @@ class Gallery:
         if flt is None:
             return None
         view = self._cap_view
-        key = tuple(sorted(flt.must.items(), key=lambda kv: kv[0]))
+        key = flt.cache_key()
         cached = self._cap_mask_cache.get(key)
         if cached is not None and cached.shape[0] == view._padded:
             return cached

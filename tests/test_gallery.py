@@ -331,3 +331,44 @@ def test_get_by_path_resolved_fallback(rng, tmp_path):
     rec = g.get_by_path(rel)
     assert rec is not None and rec.id == "p"
     assert g.get_by_path("/definitely/not/there.png") is None
+
+
+def test_must_not_filter_algebra(rng):
+    """Filter.must_not: exclude rows matching ANY negative condition
+    (Qdrant semantics) on the columnar mask path (VERDICT r3 #8)."""
+    g = Gallery("neg", dim=8)
+    vecs = rng.normal(size=(30, 8)).astype(np.float32)
+    g.upsert([f"p{i}" for i in range(30)], vecs,
+             [Payload(data_type="original_images",
+                      class_name="a" if i % 3 == 0 else
+                                 ("b" if i % 3 == 1 else "c"),
+                      is_segmented=bool(i % 2),
+                      img_path=f"/n/{i}.png") for i in range(30)])
+    # NOT class b
+    got = {r.payload.class_name
+           for r in g.scroll_all(Filter(must_not={"class_name": "b"}))}
+    assert got == {"a", "c"}
+    # must + must_not combine
+    flt = Filter(must={"is_segmented": True}, must_not={"class_name": "a"})
+    recs = g.scroll_all(flt)
+    assert recs and all(r.payload.is_segmented
+                        and r.payload.class_name != "a" for r in recs)
+    assert g.count(flt) == len(recs)
+    # multiple negatives: NOT a AND NOT b == only c
+    got = {r.payload.class_name for r in g.scroll_all(
+        Filter(must_not={"class_name": "a", "is_segmented": True}))}
+    assert all(c != "a" for c in got)
+    # img_path + unknown-value negatives
+    assert g.count(Filter(must_not={"img_path": "/n/0.png"})) == 29
+    assert g.count(Filter(must_not={"class_name": "zzz"})) == 30
+    # search honours it, and the mask cache key separates +/- twins
+    pos = g.search(vecs[3], k=5, flt=Filter(must={"class_name": "a"}))[0]
+    neg = g.search(vecs[3], k=5,
+                   flt=Filter(must_not={"class_name": "a"}))[0]
+    assert all(h.payload.class_name == "a" for h in pos)
+    assert all(h.payload.class_name != "a" for h in neg)
+    # and the & operator merges both clauses
+    both = Filter(must={"is_segmented": True}) & \
+        Filter(must_not={"class_name": "c"})
+    assert both.must == {"is_segmented": True}
+    assert both.must_not == {"class_name": "c"}

@@ -164,3 +164,40 @@ def test_closed_loop_migrate_from_facade(qdrant_api, rng):
     rec = out.retrieve([f"{5:032x}"])[0]
     np.testing.assert_allclose(rec.vector, vecs[5], atol=1e-6)
     assert rec.payload.class_name == "c2"
+
+
+def test_must_not_over_the_wire(qdrant_api, rng):
+    """Qdrant must_not clauses serve through the facade (VERDICT r3 #8);
+    should/range still rejects with the clear subset error."""
+    base, svc = qdrant_api
+    _req("PUT", f"{base}/collections/neg",
+         {"vectors": {"size": 8, "distance": "Cosine"}})
+    vecs = rng.normal(size=(12, 8)).astype("float32")
+    _req("PUT", f"{base}/collections/neg/points", {"points": [
+        {"id": f"{i:032x}", "vector": vecs[i].tolist(),
+         "payload": {"data_type": "original_images",
+                     "class_name": "a" if i % 2 else "b",
+                     "is_delegate": False, "img_path": f"/q/{i}.png"}}
+        for i in range(12)]})
+    flt = {"must": [{"key": "is_delegate", "match": {"value": False}}],
+           "must_not": [{"key": "class_name", "match": {"value": "a"}}]}
+    out = _req("POST", f"{base}/collections/neg/points/count",
+               {"filter": flt})
+    assert out["result"]["count"] == 6
+    out = _req("POST", f"{base}/collections/neg/points/scroll",
+               {"filter": flt, "limit": 100})
+    assert {p["payload"]["class_name"]
+            for p in out["result"]["points"]} == {"b"}
+    out = _req("POST", f"{base}/collections/neg/points/search",
+               {"vector": vecs[1].tolist(), "limit": 3, "filter": flt})
+    assert all(h["payload"]["class_name"] == "b" for h in out["result"])
+    # should is still out of the compatibility claim -> clear 4xx.
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req("POST", f"{base}/collections/neg/points/count",
+             {"filter": {"should": [
+                 {"key": "class_name", "match": {"value": "a"}}]}})
+    assert e.value.code == 400
+    msg = json.loads(e.value.read())["status"]["error"]
+    assert "should" in msg
