@@ -88,7 +88,7 @@ def test_filtered_sharded_search_and_mask_cache(rng):
     assert got == want
     assert all(g.retrieve([h])[0].payload.class_name == "a" for h in got)
     # The per-filter sharded mask is CACHED (no re-upload per query)...
-    key = tuple(sorted(flt.must.items()))
+    key = flt.cache_key()
     cached = g._shard_mask_cache[key]
     g.search(q, k=5, flt=flt)
     assert g._shard_mask_cache[key] is cached
