@@ -189,6 +189,18 @@ def cmd_store(args) -> int:
         print(f"deleted {n} collections")
     elif args.action == "count":
         print(len(store.get(args.name)))
+    elif args.action == "maintain":
+        # Deferred-compaction window (Gallery.maintain): reclaim
+        # tombstoned rows that large-gallery deletes left in place
+        # (docs/PRODUCTION.md "Compaction backpressure").
+        names = [args.name] if args.name else             [n for n, _ in store.list_collections()]
+        total = 0
+        for n in names:
+            reclaimed = store.get(n).maintain(force=args.force)
+            total += reclaimed
+            print(f"{n}\t{reclaimed} rows reclaimed")
+        if total:
+            _store_save(store, args.store)
     return 0
 
 
@@ -1073,7 +1085,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = add("store", cmd_store, help="collection admin (02/util)")
     sp.add_argument("action", choices=("list", "create", "rename", "delete",
-                                       "delete-all", "count"))
+                                       "delete-all", "count", "maintain"))
     sp.add_argument("--store", default="gallery_store")
     sp.add_argument("--name")
     sp.add_argument("--new-name")

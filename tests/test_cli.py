@@ -106,3 +106,32 @@ def test_doctor_runs_clean(tmp_path, monkeypatch, capsys):
     assert main(["doctor"]) == 0
     out = capsys.readouterr().out
     assert "all checks passed" in out
+
+
+def test_store_maintain_cli(tmp_path, rng):
+    """`rbod store maintain` runs the deferred-compaction window."""
+    import numpy as np
+
+    from retrieval_based_object_detection_tpu.cli.main import main
+    from retrieval_based_object_detection_tpu.gallery import persist
+    from retrieval_based_object_detection_tpu.gallery.schema import Payload
+    from retrieval_based_object_detection_tpu.gallery.store import (
+        VectorStore,
+    )
+
+    store = VectorStore()
+    g = store.create_collection("m", dim=8)
+    g.upsert([f"p{i}" for i in range(40)],
+             rng.normal(size=(40, 8)).astype(np.float32),
+             [Payload(data_type="original_images", class_name="a",
+                      img_path=f"/m/{i}.png") for i in range(40)])
+    persist.save_store(store, tmp_path)          # base (compacted)
+    g.delete(ids=[f"p{i}" for i in range(5)])    # under the 25% churn
+    persist.save_store(store, tmp_path)          # -> delta with deletions
+    # A fresh load replays the delta -> 5 tombstones below the floor.
+    probe = persist.load_store(tmp_path).get("m")
+    assert probe._n_dead == 5 and probe._nrows == 40
+    assert main(["store", "maintain", "--store", str(tmp_path),
+                 "--force"]) == 0
+    g2 = persist.load_store(tmp_path).get("m")
+    assert len(g2) == 35 and g2._n_dead == 0 and g2._nrows == 35
