@@ -193,11 +193,19 @@ def cmd_store(args) -> int:
         # Deferred-compaction window (Gallery.maintain): reclaim
         # tombstoned rows that large-gallery deletes left in place
         # (docs/PRODUCTION.md "Compaction backpressure").
-        names = [args.name] if args.name else             [n for n, _ in store.list_collections()]
+        names = ([args.name] if args.name
+                 else [n for n, _ in store.list_collections()])
         total = 0
         for n in names:
-            reclaimed = store.get(n).maintain(force=args.force)
+            g = store.get(n)
+            reclaimed = g.maintain(force=args.force)
             total += reclaimed
+            if reclaimed:
+                # Make the reclaim DURABLE: poison the snapshot identity
+                # so the save below rewrites the base and collapses the
+                # delta chain — otherwise the next load replays the
+                # delete-deltas and resurrects the tombstones.
+                g._snap_id = None
             print(f"{n}\t{reclaimed} rows reclaimed")
         if total:
             _store_save(store, args.store)
