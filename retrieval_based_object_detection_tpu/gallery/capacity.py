@@ -109,8 +109,11 @@ class CapacitySearcher:
             staged[:] = 0.0
             if hi > start:
                 staged[: hi - start] = vectors[start:hi]
+            # staged is REUSED (zeroed + refilled) next iteration while
+            # this fill may still be pending — the transfer must copy
+            # (search_lib.staged; CPU jnp.asarray aliases host memory).
             bf16, packed, scales = _fill_chunk(
-                bf16, packed, scales, jnp.asarray(staged),
+                bf16, packed, scales, search_lib.staged(staged),
                 jnp.int32(start))
         self.dev_bf16, self.dev_packed, self.dev_scales = (bf16, packed,
                                                            scales)
@@ -118,7 +121,8 @@ class CapacitySearcher:
         # mask writes mutate the shadow then re-push only affected tiles.
         self._host_mask = np.zeros(self._padded, bool)
         self._host_mask[:n] = mask
-        self.dev_mask = jnp.asarray(self._host_mask)
+        # _set_mask_range mutates _host_mask in place later — copy-guard.
+        self.dev_mask = search_lib.staged(self._host_mask)
         self.ids = ids  # optional row -> point-id mapping (from_gallery)
         self._id_to_row: dict[str, int] | None = None
 
@@ -151,7 +155,7 @@ class CapacitySearcher:
         m = np.asarray(mask, dtype=bool)
         host_mask[: len(m)] = m[: obj._padded]
         obj._host_mask = host_mask
-        obj.dev_mask = jnp.asarray(host_mask)
+        obj.dev_mask = search_lib.staged(host_mask)  # mutated by writes
         obj.ids = ids
         obj._id_to_row = None
         return obj
@@ -233,9 +237,11 @@ class CapacitySearcher:
             # failure (device OOM on a big multi-tile write) would leave
             # self.dev_* pointing at deleted arrays and brick the view
             # (ADVICE r3). A partial write now leaves a usable view.
+            # Full-tile staged is a SLICE of the caller's vectors (often
+            # the gallery's live host buffer) — copy-guard the transfer.
             self.dev_bf16, self.dev_packed, self.dev_scales = _fill_chunk(
                 self.dev_bf16, self.dev_packed, self.dev_scales,
-                jnp.asarray(staged), jnp.int32(ts))
+                search_lib.staged(staged), jnp.int32(ts))
         self.n_rows = max(self.n_rows, end)
         self._set_mask_range(start, end, True)
 
@@ -245,7 +251,7 @@ class CapacitySearcher:
         mask = self.dev_mask
         for ts in range((lo // tile) * tile, hi, tile):
             mask = _patch_mask_tile(
-                mask, jnp.asarray(self._host_mask[ts: ts + tile]),
+                mask, search_lib.staged(self._host_mask[ts: ts + tile]),
                 jnp.int32(ts))
         self.dev_mask = mask
 
@@ -311,7 +317,7 @@ class CapacitySearcher:
             mask = self.dev_mask
             for ts in sorted({(r // tile) * tile for r in live}):
                 mask = _patch_mask_tile(
-                    mask, jnp.asarray(self._host_mask[ts: ts + tile]),
+                    mask, search_lib.staged(self._host_mask[ts: ts + tile]),
                     jnp.int32(ts))
             self.dev_mask = mask
         return len(live)

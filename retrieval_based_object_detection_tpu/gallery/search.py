@@ -25,6 +25,31 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def staged(x) -> jax.Array:
+    """Transfer a host buffer that the CALLER may later mutate in place.
+
+    On CPU backends ``jnp.asarray``/``device_put`` zero-copy ALIAS
+    aligned NumPy memory (verified on jax 0.9), so an in-place host
+    write after the transfer corrupts the device value — including the
+    inputs of still-pending async computations. The symptom is a
+    nondeterministic wrong row under load (seen as a rank-1338 gallery
+    row surfacing in a top-5: the chunked capacity build reused one
+    staging buffer across ``_fill_chunk`` dispatches). TPU transfers
+    always copy, so the guard costs nothing where it matters.
+
+    Use this instead of ``jnp.asarray`` whenever the source buffer is
+    (a) reused/zeroed by a staging loop, (b) a slice of a live store
+    buffer (``Gallery._vectors``, ``_host_mask``) that later writes
+    mutate, or (c) anything a caller keeps writing to. Fresh local
+    buffers that die unmutated may use ``jnp.asarray`` directly.
+    """
+    import numpy as np
+
+    if isinstance(x, np.ndarray) and jax.default_backend() == "cpu":
+        x = x.copy()
+    return jnp.asarray(x)
+
+
 def l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
     """Row-wise L2 normalisation in float32."""
     x = x.astype(jnp.float32)

@@ -361,7 +361,7 @@ class ShardedGallerySearcher:
         mask = self.dev_mask
         for ts in range((lo // tile) * tile, hi, tile):
             mask = _dus_1d(
-                mask, jnp.asarray(self._host_mask[ts: ts + tile]),
+                mask, search_lib.staged(self._host_mask[ts: ts + tile]),
                 jnp.int32(ts))
         self.dev_mask = mask
 
@@ -432,7 +432,7 @@ class ShardedGallerySearcher:
             mask = self.dev_mask
             for ts in sorted({(r // tile) * tile for r in live}):
                 mask = _dus_1d(
-                    mask, jnp.asarray(self._host_mask[ts: ts + tile]),
+                    mask, search_lib.staged(self._host_mask[ts: ts + tile]),
                     jnp.int32(ts))
             self.dev_mask = mask
         return len(live)

@@ -299,3 +299,34 @@ def test_midloop_write_failure_leaves_usable_view(rng, monkeypatch):
     s.upsert_rows(0, new)
     _, idx = s.search(new[10], k=1)
     assert idx[0, 0] == 10
+
+
+def test_staged_transfers_never_alias_host_memory(rng):
+    """On CPU, jnp.asarray zero-copy ALIASES aligned NumPy buffers — a
+    later in-place host write corrupts the device value (root cause of
+    a nondeterministic wrong row in the chunked build: the reused
+    staging buffer raced still-pending _fill_chunk dispatches; seen as
+    an exact-rank-1338 row inside a top-5). search_lib.staged must
+    copy-guard the transfer."""
+    from retrieval_based_object_detection_tpu.gallery import (
+        search as search_lib,
+    )
+
+    buf = np.full((256, DIM), 1.0, np.float32)
+    dev = search_lib.staged(buf)
+    buf[:] = 2.0  # caller reuses its staging buffer
+    np.testing.assert_array_equal(np.asarray(dev), 1.0)
+
+
+def test_build_immune_to_caller_buffer_reuse(rng):
+    """End-to-end: mutating the source vectors right after the chunked
+    build (while fills may still be pending) must not change what the
+    view serves — the staging path copies before handing to JAX."""
+    n = 1500
+    vecs = _vectors(rng, n)
+    want = vecs.copy()
+    s = CapacitySearcher(vecs, np.ones(n, bool), chunk=512)
+    vecs[:] = 0.0  # caller reclaims its buffer immediately
+    vn = want / np.linalg.norm(want, axis=1, keepdims=True)
+    got = np.asarray(s.dev_bf16)[:n].astype(np.float32)
+    np.testing.assert_allclose(got, vn, atol=1e-2)
