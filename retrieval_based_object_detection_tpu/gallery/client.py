@@ -104,6 +104,8 @@ def _filter_body(flt: Filter | None) -> dict:
     out: dict = {"filter": dict(flt.must)}
     if getattr(flt, "must_not", None):
         out["filter_not"] = dict(flt.must_not)
+    if getattr(flt, "should", ()):
+        out["filter_should"] = [list(kv) for kv in flt.should]
     return out
 
 

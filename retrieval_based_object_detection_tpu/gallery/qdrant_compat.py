@@ -15,13 +15,14 @@ which speaks the same wire format to real Qdrant servers) migrates
 collections out of this façade byte-for-byte (tests/test_qdrant_compat).
 
 Subset notes:
-  * filters: conjunctive ``must`` AND ``must_not`` of
+  * filters: ``must`` / ``must_not`` / ``should`` of
     ``{"key", "match": {"value"}}`` conditions — ``must`` is the only
     shape the reference issues (32:104-131, 33:117-137); ``must_not``
-    (Qdrant semantics: exclude rows matching ANY negative condition)
-    rides the same columnar mask path. ``should``/ranges are rejected
-    with a clear error rather than silently misfiltered — a client
-    needing them is outside this facade's compatibility claim.
+    (exclude rows matching ANY negative condition) and ``should``
+    (a row must match at least ONE of the group, Qdrant's OR) ride the
+    same columnar mask path. ``range`` conditions are rejected with a
+    clear error: the fixed 8-field payload contract has no numeric
+    fields, so there is nothing for a range to apply to.
   * scroll offsets are opaque integer tokens in ``next_page_offset``
     (clients pass them back verbatim, as with real Qdrant's id tokens).
   * distances map Cosine/Euclid/Dot/Manhattan onto the store's four
@@ -54,26 +55,43 @@ def _filter_from_qdrant(body: dict) -> Filter | None:
     flt = body.get("filter")
     if not flt:
         return None
-    extra = set(flt) - {"must", "must_not"}
+    extra = set(flt) - {"must", "must_not", "should"}
     if extra:
         raise _Bad(f"unsupported filter clauses {sorted(extra)}: this "
-                   "facade serves conjunctive must/must_not match "
-                   "conditions (should/range are not implemented)")
+                   "facade serves must/must_not/should match conditions "
+                   "(the fixed 8-field payload schema has no numeric "
+                   "fields, so range conditions are not implemented)")
 
-    def conds(clause: str) -> dict:
-        out: dict = {}
+    def pairs(clause: str) -> list:
+        out: list = []
         for cond in flt.get(clause, []):
             if "key" not in cond or "match" not in cond \
                     or "value" not in cond["match"]:
                 raise _Bad(f"unsupported filter condition {cond!r}: "
                            'expected {"key": ..., "match": '
                            '{"value": ...}}')
-            out[cond["key"]] = cond["match"]["value"]
+            out.append((cond["key"], cond["match"]["value"]))
         return out
 
-    must, must_not = conds("must"), conds("must_not")
-    return Filter(must=must, must_not=must_not) \
-        if (must or must_not) else None
+    must = dict(pairs("must"))
+    must_not = dict(pairs("must_not"))
+    should = tuple(pairs("should"))
+    return Filter(must=must, must_not=must_not, should=should) \
+        if (must or must_not or should) else None
+
+
+def _filter_req(flt: Filter | None) -> dict:
+    """Native-wire body fields for a parsed filter (one place, so a new
+    clause kind cannot be forwarded at some call sites and dropped at
+    others)."""
+    if flt is None:
+        return {}
+    req: dict = {"filter": dict(flt.must)}
+    if flt.must_not:
+        req["filter_not"] = dict(flt.must_not)
+    if flt.should:
+        req["filter_should"] = [list(kv) for kv in flt.should]
+    return req
 
 
 def _point_out(p: dict, with_payload: bool, with_vector: bool) -> dict:
@@ -271,11 +289,8 @@ def make_qdrant_handler(svc):
             flt = _filter_from_qdrant(body)
             req = {"limit": int(body.get("limit", 10)),
                    "offset": int(body.get("offset") or 0),
-                   "with_vectors": bool(body.get("with_vector", False))}
-            if flt:
-                req["filter"] = dict(flt.must)
-                if flt.must_not:
-                    req["filter_not"] = dict(flt.must_not)
+                   "with_vectors": bool(body.get("with_vector", False)),
+                   **_filter_req(flt)}
             out = svc.scroll(name, req)
             with_payload = bool(body.get("with_payload", True))
             with_vector = bool(body.get("with_vector", False))
@@ -288,12 +303,7 @@ def make_qdrant_handler(svc):
         def _post_points_count(self, name):
             body = self._body()
             flt = _filter_from_qdrant(body)
-            req = {}
-            if flt:
-                req["filter"] = dict(flt.must)
-                if flt.must_not:
-                    req["filter_not"] = dict(flt.must_not)
-            out = svc.count(name, req)
+            out = svc.count(name, _filter_req(flt))
             self._send({"count": out["count"]})
 
         def _post_points_search(self, name):
@@ -305,9 +315,7 @@ def make_qdrant_handler(svc):
                 "queries": [body["vector"]],
                 "k": int(body.get("limit", 10)),
                 "with_vectors": bool(body.get("with_vector", False)),
-                **({"filter": dict(flt.must)} if flt else {}),
-                **({"filter_not": dict(flt.must_not)}
-                   if flt and flt.must_not else {}),
+                **_filter_req(flt),
             })
             with_payload = bool(body.get("with_payload", True))
             with_vector = bool(body.get("with_vector", False))
@@ -322,10 +330,7 @@ def make_qdrant_handler(svc):
             if "points" in body:
                 req["ids"] = [str(i) for i in body["points"]]
             flt = _filter_from_qdrant(body)
-            if flt:
-                req["filter"] = dict(flt.must)
-                if flt.must_not:
-                    req["filter_not"] = dict(flt.must_not)
+            req.update(_filter_req(flt))
             if not req:
                 raise _Bad('expected "points" ids or "filter"')
             svc.delete_points(name, req)

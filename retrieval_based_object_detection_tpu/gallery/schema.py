@@ -107,13 +107,30 @@ class Filter:
     must_not semantics: NOT(c1) AND NOT(c2) …) — trivial on the columnar
     mask path (AND-NOT per condition) and served through the Qdrant
     façade too (VERDICT r3 #8).
+
+    ``should`` is an OR-group of conditions (Qdrant's should semantics
+    when ``must`` is present: a row must satisfy every ``must`` AND at
+    least ONE ``should``). Because one field may appear in several
+    should-conditions (``class_name in {a, b}`` is THE use case), it is
+    a sequence of ``(field, value)`` pairs, not a mapping — a mapping
+    is accepted and converted. Empty means "no should constraint".
     """
 
     must: Mapping[str, Any] = field(default_factory=dict)
     must_not: Mapping[str, Any] = field(default_factory=dict)
+    should: tuple = ()
 
     def __post_init__(self) -> None:
-        for k in (*self.must, *self.must_not):
+        # Normalise should → tuple[(field, value), ...] (frozen dataclass:
+        # write through object.__setattr__). Accepts a mapping or any
+        # iterable of pairs; order is preserved (OR is commutative but a
+        # stable identity keeps cache keys deterministic via sorting).
+        sh = self.should
+        pairs = tuple(sh.items()) if isinstance(sh, Mapping) else \
+            tuple((str(k), v) for k, v in sh)
+        object.__setattr__(self, "should", pairs)
+        for k in (*self.must, *self.must_not,
+                  *(f for f, _ in self.should)):
             if k not in FIELDS:
                 raise KeyError(f"unknown payload field in filter: {k!r}")
 
@@ -122,18 +139,27 @@ class Filter:
         merged.update(other.must)
         merged_not = dict(self.must_not)
         merged_not.update(other.must_not)
-        return Filter(must=merged, must_not=merged_not)
+        if self.should and other.should:
+            # AND of two OR-groups is not representable in this flat
+            # model (would need nested boolean clauses); no caller
+            # composes filters this way — fail loudly over misfiltering.
+            raise ValueError(
+                "cannot AND two filters that both carry should groups")
+        return Filter(must=merged, must_not=merged_not,
+                      should=self.should or other.should)
 
     def items(self) -> Iterator[tuple[str, Any]]:
         return iter(self.must.items())
 
     def cache_key(self) -> tuple:
         """Hashable identity for device-mask caches — includes the
-        negative conditions (a must_not filter must never collide with
-        its positive twin)."""
+        negative and should conditions (a must_not/should filter must
+        never collide with its positive twin)."""
         return (tuple(sorted(self.must.items(), key=lambda kv: kv[0])),
                 tuple(sorted(self.must_not.items(),
-                             key=lambda kv: kv[0])))
+                             key=lambda kv: kv[0])),
+                tuple(sorted(self.should,
+                             key=lambda kv: (kv[0], repr(kv[1])))))
 
     @staticmethod
     def for_case(case: str) -> "Filter":
@@ -338,6 +364,24 @@ class PayloadColumns:
                 code = self._lookup_code(fieldname, value)
                 if code != -2:  # unknown value matches nothing to exclude
                     m &= self._cols[fieldname][: self.size] != code
+        # should: at least ONE condition must hold (OR-group ANDed with
+        # the rest — Qdrant's should semantics under a must clause).
+        should = getattr(flt, "should", ())
+        if should:
+            sm = np.zeros(self.size, dtype=bool)
+            for fieldname, value in should:
+                if fieldname in BOOL_FIELDS:
+                    sm |= self._cols[fieldname][: self.size] == bool(value)
+                elif fieldname == "img_path":
+                    self._ensure_paths()
+                    row = self._path_index.get(value)
+                    if row is not None:
+                        sm[row] = True
+                else:
+                    code = self._lookup_code(fieldname, value)
+                    if code != -2:  # unknown value matches no rows
+                        sm |= self._cols[fieldname][: self.size] == code
+            m = m & sm
         return m
 
     def export_columns(self, n: int) -> dict:

@@ -42,9 +42,11 @@ from retrieval_based_object_detection_tpu.gallery.store import VectorStore
 def _filter_from(body: dict) -> Filter | None:
     flt = body.get("filter")
     flt_not = body.get("filter_not")
-    if not flt and not flt_not:
+    flt_should = body.get("filter_should")  # [[field, value], ...] OR-group
+    if not flt and not flt_not and not flt_should:
         return None
-    return Filter(must=flt or {}, must_not=flt_not or {})
+    return Filter(must=flt or {}, must_not=flt_not or {},
+                  should=tuple((f, v) for f, v in (flt_should or ())))
 
 
 class GalleryService:

@@ -218,3 +218,41 @@ def test_service_mesh_devices_serves_sharded(tmp_path, rng):
         assert all(h["id"] != "i7" for h in res["results"][0])
     finally:
         srv.shutdown()
+
+
+def test_filter_should_native_wire(server, rng):
+    """filter_should — [[field, value], ...] OR-group — rides the native
+    REST wire through count/scroll/search, and GalleryClient emits it."""
+    base, _ = server
+    call("PUT", f"{base}/collections/sw", {"dim": 8})
+    vecs = rng.normal(size=(9, 8)).astype(np.float32)
+    payloads = [{"data_type": "original_images",
+                 "class_name": ("a", "b", "c")[i % 3],
+                 "img_path": f"/w/{i}.png"} for i in range(9)]
+    call("POST", f"{base}/collections/sw/points",
+         {"ids": [f"i{j}" for j in range(9)], "vectors": vecs.tolist(),
+          "payloads": payloads})
+    should = [["class_name", "a"], ["class_name", "b"]]
+    status, res = call("POST", f"{base}/collections/sw/count",
+                       {"filter_should": should})
+    assert (status, res["count"]) == (200, 6)
+    status, res = call("POST", f"{base}/collections/sw/points/scroll",
+                       {"filter_should": should, "limit": 100})
+    assert {p["payload"]["class_name"] for p in res["points"]} == {"a", "b"}
+    status, res = call("POST", f"{base}/collections/sw/points/search",
+                       {"queries": [vecs[0].tolist()], "k": 4,
+                        "filter_should": should})
+    assert res["results"][0] and all(
+        h["payload"]["class_name"] in {"a", "b"}
+        for h in res["results"][0])
+
+    # the Python client serialises Filter.should into the same body
+    from retrieval_based_object_detection_tpu.gallery.client import (
+        _filter_body,
+    )
+    from retrieval_based_object_detection_tpu.gallery.schema import Filter
+
+    body = _filter_body(Filter(must={"is_delegate": False},
+                               should=(("class_name", "a"),)))
+    assert body == {"filter": {"is_delegate": False},
+                    "filter_should": [["class_name", "a"]]}

@@ -115,7 +115,7 @@ def test_reference_call_sites_over_the_wire(qdrant_api, rng):
     # unsupported filter clause -> clear 400, not silent misfiltering.
     with pytest.raises(urllib.error.HTTPError) as ei:
         _req("POST", f"{base}/collections/demo/points/scroll",
-             {"filter": {"should": []}})
+             {"filter": {"nested": {"key": "x"}}})
     assert ei.value.code == 400
 
     # malformed point bodies -> 400 (not 404/500; review finding).
@@ -191,13 +191,58 @@ def test_must_not_over_the_wire(qdrant_api, rng):
     out = _req("POST", f"{base}/collections/neg/points/search",
                {"vector": vecs[1].tolist(), "limit": 3, "filter": flt})
     assert all(h["payload"]["class_name"] == "b" for h in out["result"])
-    # should is still out of the compatibility claim -> clear 4xx.
+    # range is still out of the compatibility claim (the fixed 8-field
+    # schema has no numeric fields) -> clear 4xx.
     import urllib.error
 
     with pytest.raises(urllib.error.HTTPError) as e:
         _req("POST", f"{base}/collections/neg/points/count",
-             {"filter": {"should": [
-                 {"key": "class_name", "match": {"value": "a"}}]}})
+             {"filter": {"must": [
+                 {"key": "class_name", "range": {"gte": 1}}]}})
     assert e.value.code == 400
     msg = json.loads(e.value.read())["status"]["error"]
-    assert "should" in msg
+    assert "range" in msg
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req("POST", f"{base}/collections/neg/points/count",
+             {"filter": {"min_should": {}}})
+    assert e.value.code == 400
+
+
+def test_should_over_the_wire(qdrant_api, rng):
+    """Qdrant should clauses (OR-groups) serve through the facade —
+    count/scroll/search/delete all route them to the columnar mask."""
+    base, svc = qdrant_api
+    _req("PUT", f"{base}/collections/orw",
+         {"vectors": {"size": 8, "distance": "Cosine"}})
+    vecs = rng.normal(size=(12, 8)).astype("float32")
+    _req("PUT", f"{base}/collections/orw/points", {"points": [
+        {"id": f"{i:032x}", "vector": vecs[i].tolist(),
+         "payload": {"data_type": "original_images",
+                     "class_name": ("a", "b", "c")[i % 3],
+                     "is_delegate": False, "img_path": f"/s/{i}.png"}}
+        for i in range(12)]})
+    flt = {"should": [{"key": "class_name", "match": {"value": "a"}},
+                      {"key": "class_name", "match": {"value": "b"}}]}
+    out = _req("POST", f"{base}/collections/orw/points/count",
+               {"filter": flt})
+    assert out["result"]["count"] == 8
+    out = _req("POST", f"{base}/collections/orw/points/scroll",
+               {"filter": flt, "limit": 100})
+    assert {p["payload"]["class_name"]
+            for p in out["result"]["points"]} == {"a", "b"}
+    out = _req("POST", f"{base}/collections/orw/points/search",
+               {"vector": vecs[0].tolist(), "limit": 5, "filter": flt})
+    assert out["result"] and all(
+        h["payload"]["class_name"] in {"a", "b"} for h in out["result"])
+    # must AND should together (Qdrant semantics)
+    both = {"must": [{"key": "is_delegate", "match": {"value": False}}],
+            "should": flt["should"]}
+    out = _req("POST", f"{base}/collections/orw/points/count",
+               {"filter": both})
+    assert out["result"]["count"] == 8
+    # delete by should-filter
+    _req("POST", f"{base}/collections/orw/points/delete",
+         {"filter": {"should": [
+             {"key": "class_name", "match": {"value": "c"}}]}})
+    out = _req("POST", f"{base}/collections/orw/points/count", {})
+    assert out["result"]["count"] == 8
