@@ -197,7 +197,8 @@ def tier_fidelity(gallery, g_root: Path, t_root: Path, k: int = 10
     # Split the store's rows: members+delegates stay searchable, the
     # held-out test vectors become queries (they must not appear as
     # search targets — top-1 would trivially be self).
-    g_prefix, t_prefix = str(g_root), str(t_root)
+    del g_root  # member rows are the complement of the test prefix
+    t_prefix = str(t_root)
     fid = Gallery("rq_fid", dim=gallery.dim)
     queries, truths = [], []
     for rec in gallery.scroll_all(with_vectors=True):

@@ -403,7 +403,11 @@ def bench_capacity_10m(quick: bool) -> dict:
 
     # ---- 5. small id-keyed write + re-query through the API ---------
     new_rows = rng.normal(size=(64, d)).astype(np.float32)
-    wids = [f"{i:09d}" for i in range(100_000, 100_064)]
+    # NEW ids past the ingest range — ids {i:09d} for i < n already
+    # exist, so reusing them would silently measure overwrites and the
+    # final len(g2) == n + 64 assert would kill the multi-hour run at
+    # the finish line (review finding).
+    wids = [f"{i:09d}" for i in range(n, n + 64)]
     wpls = [Payload(data_type="original_images", class_name="written",
                     img_path=f"/data/new/{i}.png") for i in wids]
     g.upsert(wids, new_rows, wpls)   # warm write kernels via sync

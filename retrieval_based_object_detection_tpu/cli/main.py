@@ -195,19 +195,24 @@ def cmd_store(args) -> int:
         # (docs/PRODUCTION.md "Compaction backpressure").
         names = ([args.name] if args.name
                  else [n for n, _ in store.list_collections()])
+        remote = args.store.startswith(("http://", "https://"))
         total = 0
         for n in names:
             g = store.get(n)
+            # Remote: GalleryClient.maintain → the SERVER runs the
+            # reclaim and owns its durability (the backpressure accrued
+            # in the server process; a CLI-side compaction of a private
+            # snapshot copy could not drain it).
             reclaimed = g.maintain(force=args.force)
             total += reclaimed
-            if reclaimed:
+            if reclaimed and not remote:
                 # Make the reclaim DURABLE: poison the snapshot identity
                 # so the save below rewrites the base and collapses the
                 # delta chain — otherwise the next load replays the
                 # delete-deltas and resurrects the tombstones.
                 g._snap_id = None
             print(f"{n}\t{reclaimed} rows reclaimed")
-        if total:
+        if total and not remote:
             _store_save(store, args.store)
     return 0
 

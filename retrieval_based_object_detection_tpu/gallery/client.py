@@ -99,14 +99,7 @@ def _request(method: str, url: str, body: dict | None = None,
 
 
 def _filter_body(flt: Filter | None) -> dict:
-    if flt is None:
-        return {}
-    out: dict = {"filter": dict(flt.must)}
-    if getattr(flt, "must_not", None):
-        out["filter_not"] = dict(flt.must_not)
-    if getattr(flt, "should", ()):
-        out["filter_should"] = [list(kv) for kv in flt.should]
-    return out
+    return flt.to_wire() if flt is not None else {}
 
 
 class GalleryClient:
@@ -223,6 +216,12 @@ class GalleryClient:
         recs = self.scroll_all(flt)
         return sorted({getattr(r.payload, fieldname) for r in recs
                        if getattr(r.payload, fieldname) is not None})
+
+    def maintain(self, force: bool = False) -> int:
+        """Server-side deferred compaction (Gallery.maintain); the
+        server owns the reclaim AND its durability (base rewrite)."""
+        return int(_request("POST", self._url("/maintain"),
+                            {"force": bool(force)})["reclaimed"])
 
     def search(self, queries, k: int = 10, flt: Filter | None = None,
                exact: bool = True, with_vectors: bool = False,

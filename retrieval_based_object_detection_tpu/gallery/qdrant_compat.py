@@ -73,25 +73,28 @@ def _filter_from_qdrant(body: dict) -> Filter | None:
             out.append((cond["key"], cond["match"]["value"]))
         return out
 
-    must = dict(pairs("must"))
-    must_not = dict(pairs("must_not"))
+    must: dict = {}
+    for key, value in pairs("must"):
+        if key in must and must[key] != value:
+            # Two positive equality conditions on one field can never
+            # both hold; real Qdrant returns an empty result set. The
+            # columnar must-map cannot carry both, so refuse loudly
+            # instead of last-wins misfiltering.
+            raise _Bad(
+                f"contradictory must conditions on {key!r} "
+                f"({must[key]!r} vs {value!r}) can never match — "
+                "did you mean a should group (OR)?")
+        must[key] = value
+    must_not = tuple(pairs("must_not"))  # pairs: one field may repeat
     should = tuple(pairs("should"))
     return Filter(must=must, must_not=must_not, should=should) \
         if (must or must_not or should) else None
 
 
 def _filter_req(flt: Filter | None) -> dict:
-    """Native-wire body fields for a parsed filter (one place, so a new
-    clause kind cannot be forwarded at some call sites and dropped at
-    others)."""
-    if flt is None:
-        return {}
-    req: dict = {"filter": dict(flt.must)}
-    if flt.must_not:
-        req["filter_not"] = dict(flt.must_not)
-    if flt.should:
-        req["filter_should"] = [list(kv) for kv in flt.should]
-    return req
+    """Native-wire body fields for a parsed filter — delegates to THE
+    one encoder (schema.Filter.to_wire), shared with the Python client."""
+    return flt.to_wire() if flt is not None else {}
 
 
 def _point_out(p: dict, with_payload: bool, with_vector: bool) -> dict:

@@ -110,26 +110,37 @@ class Filter:
 
     ``should`` is an OR-group of conditions (Qdrant's should semantics
     when ``must`` is present: a row must satisfy every ``must`` AND at
-    least ONE ``should``). Because one field may appear in several
-    should-conditions (``class_name in {a, b}`` is THE use case), it is
-    a sequence of ``(field, value)`` pairs, not a mapping — a mapping
-    is accepted and converted. Empty means "no should constraint".
+    least ONE ``should``).
+
+    Because one field may appear in several conditions of the same
+    clause (``class_name NOT IN {a, b}`` / ``class_name IN {a, b}`` are
+    THE use cases), ``must_not`` and ``should`` are sequences of
+    ``(field, value)`` pairs, not mappings — a mapping is accepted and
+    converted. Empty means "no constraint". ``must`` stays a mapping:
+    two positive equality conditions on one field are a contradiction,
+    which JSON objects cannot even carry over the wire.
     """
 
     must: Mapping[str, Any] = field(default_factory=dict)
-    must_not: Mapping[str, Any] = field(default_factory=dict)
+    must_not: tuple = ()
     should: tuple = ()
 
+    @staticmethod
+    def _pairs(conds) -> tuple:
+        """Normalise a mapping or iterable of pairs → ((field, value), …)."""
+        if isinstance(conds, Mapping):
+            return tuple(conds.items())
+        return tuple((str(k), v) for k, v in conds)
+
     def __post_init__(self) -> None:
-        # Normalise should → tuple[(field, value), ...] (frozen dataclass:
-        # write through object.__setattr__). Accepts a mapping or any
-        # iterable of pairs; order is preserved (OR is commutative but a
-        # stable identity keeps cache keys deterministic via sorting).
-        sh = self.should
-        pairs = tuple(sh.items()) if isinstance(sh, Mapping) else \
-            tuple((str(k), v) for k, v in sh)
-        object.__setattr__(self, "should", pairs)
-        for k in (*self.must, *self.must_not,
+        # Normalise the pair-sequence clauses (frozen dataclass: write
+        # through object.__setattr__). Order is preserved — AND/OR are
+        # commutative but a stable identity keeps cache keys
+        # deterministic via sorting.
+        object.__setattr__(self, "must_not", self._pairs(self.must_not))
+        object.__setattr__(self, "should", self._pairs(self.should))
+        for k in (*self.must,
+                  *(f for f, _ in self.must_not),
                   *(f for f, _ in self.should)):
             if k not in FIELDS:
                 raise KeyError(f"unknown payload field in filter: {k!r}")
@@ -137,8 +148,8 @@ class Filter:
     def __and__(self, other: "Filter") -> "Filter":
         merged = dict(self.must)
         merged.update(other.must)
-        merged_not = dict(self.must_not)
-        merged_not.update(other.must_not)
+        merged_not = self.must_not + tuple(
+            kv for kv in other.must_not if kv not in self.must_not)
         if self.should and other.should:
             # AND of two OR-groups is not representable in this flat
             # model (would need nested boolean clauses); no caller
@@ -155,11 +166,39 @@ class Filter:
         """Hashable identity for device-mask caches — includes the
         negative and should conditions (a must_not/should filter must
         never collide with its positive twin)."""
+        bykey = lambda kv: (kv[0], repr(kv[1]))  # noqa: E731
         return (tuple(sorted(self.must.items(), key=lambda kv: kv[0])),
-                tuple(sorted(self.must_not.items(),
-                             key=lambda kv: kv[0])),
-                tuple(sorted(self.should,
-                             key=lambda kv: (kv[0], repr(kv[1])))))
+                tuple(sorted(self.must_not, key=bykey)),
+                tuple(sorted(self.should, key=bykey)))
+
+    # ------------------------------------------------------------- wire
+    # THE one encoder/decoder pair for the native REST wire (used by the
+    # Python client AND the Qdrant façade's forwarding) — a new clause
+    # kind added here reaches every path, instead of being forwarded at
+    # some call sites and dropped at others.
+    def to_wire(self) -> dict:
+        """Native-wire body fields: ``filter`` (must, a JSON object),
+        ``filter_not`` / ``filter_should`` ([[field, value], …])."""
+        out: dict = {}
+        if self.must:
+            out["filter"] = dict(self.must)
+        if self.must_not:
+            out["filter_not"] = [list(kv) for kv in self.must_not]
+        if self.should:
+            out["filter_should"] = [list(kv) for kv in self.should]
+        return out
+
+    @staticmethod
+    def from_wire(body: Mapping) -> "Filter | None":
+        """Inverse of ``to_wire``; also accepts the legacy dict shape
+        for ``filter_not``. Returns None when no clause is present."""
+        must = body.get("filter")
+        mnot = body.get("filter_not")
+        should = body.get("filter_should")
+        if not must and not mnot and not should:
+            return None
+        return Filter(must=must or {}, must_not=mnot or (),
+                      should=should or ())
 
     @staticmethod
     def for_case(case: str) -> "Filter":
@@ -350,8 +389,9 @@ class PayloadColumns:
                 pm[row] = True
             m = m & pm
         # must_not: exclude rows matching ANY negative condition
-        # (AND-NOT per condition on the columns).
-        for fieldname, value in getattr(flt, "must_not", {}).items():
+        # (AND-NOT per condition on the columns; one field may appear
+        # in several conditions — class_name NOT IN {a, b}).
+        for fieldname, value in getattr(flt, "must_not", ()):
             if fieldname in BOOL_FIELDS:
                 m &= self._cols[fieldname][: self.size] != bool(value)
             elif fieldname == "img_path":

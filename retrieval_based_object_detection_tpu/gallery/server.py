@@ -40,13 +40,7 @@ from retrieval_based_object_detection_tpu.gallery.store import VectorStore
 
 
 def _filter_from(body: dict) -> Filter | None:
-    flt = body.get("filter")
-    flt_not = body.get("filter_not")
-    flt_should = body.get("filter_should")  # [[field, value], ...] OR-group
-    if not flt and not flt_not and not flt_should:
-        return None
-    return Filter(must=flt or {}, must_not=flt_not or {},
-                  should=tuple((f, v) for f, v in (flt_should or ())))
+    return Filter.from_wire(body)
 
 
 class GalleryService:
@@ -119,6 +113,20 @@ class GalleryService:
     def count(self, name: str, body: dict):
         with self.lock:
             return {"count": self.store.get(name).count(_filter_from(body))}
+
+    def maintain(self, name: str, body: dict):
+        """Deferred-compaction window (Gallery.maintain), server-side —
+        the backpressure this drains accrues INSIDE this long-running
+        process, so the reclaim (and its durability: base rewrite so the
+        delta chain cannot replay the tombstones) must happen here, not
+        in a CLI that loaded its own copy of the snapshot."""
+        with self.lock:
+            g = self.store.get(name)
+            reclaimed = g.maintain(force=bool(body.get("force")))
+            if reclaimed:
+                g._snap_id = None  # poison: next save rewrites the base
+                self._save(self.store, self.root)
+            return {"reclaimed": reclaimed}
 
     def upsert(self, name: str, body: dict):
         missing = [k for k in ("ids", "vectors", "payloads")
@@ -271,6 +279,8 @@ def make_handler(svc: GalleryService):
                         return self._json(svc.rename(name, body))
                     if op == "count" and method in ("GET", "POST"):
                         return self._json(svc.count(name, body))
+                    if op == "maintain" and method == "POST":
+                        return self._json(svc.maintain(name, body))
                     if op == "points" and method == "POST":
                         return self._json(svc.upsert(name, body))
                 if len(parts) == 4 and parts[0] == "collections" \

@@ -1001,6 +1001,17 @@ class Gallery:
         view = self._ensure_shard_view()
         if tier is None:
             if view.capacity:
+                if exact:
+                    # The single-chip analog fails loudly too (a 10M f32
+                    # mirror OOMs HBM); silently serving int4 here would
+                    # break the "exact means exact" contract on the ONE
+                    # path where nobody opted into approximation.
+                    raise ValueError(
+                        "exact search is unavailable at this scale: the "
+                        "sharded view keeps bf16+int4 planes only (per-"
+                        "chip residency past CAPACITY_AUTO_BYTES). Pass "
+                        "exact=False for the serving tier, or pin "
+                        "method='sharded_bf16'/'sharded_int4'.")
                 tier = "int4"
             elif exact:
                 tier = "exact"
@@ -1101,7 +1112,10 @@ class Gallery:
         scan + O(shards × k) merge; sub-tier from ``exact``/scale, or
         pin one with "sharded_exact"/"sharded_bf16"/"sharded_int8"/
         "sharded_int4"), or None — which means: sharded when a gallery
-        mesh is attached; else exact when ``exact=True``; else auto:
+        mesh is attached (past the per-chip capacity budget only
+        quantised planes are resident, so ``exact=True`` then raises
+        rather than silently approximating — pass ``exact=False`` or
+        pin a sub-tier); else exact when ``exact=True``; else auto:
         capacity once the standard mirrors exceed CAPACITY_AUTO_BYTES,
         int8 on TPU at ≥INT8_SCAN_MIN_ROWS rows, bf16 below.
         """

@@ -371,7 +371,12 @@ def test_must_not_filter_algebra(rng):
     both = Filter(must={"is_segmented": True}) & \
         Filter(must_not={"class_name": "c"})
     assert both.must == {"is_segmented": True}
-    assert both.must_not == {"class_name": "c"}
+    assert both.must_not == (("class_name", "c"),)
+    # one field may appear in several negative conditions:
+    # NOT IN {a, b} == only c (the duplicate-key case a mapping drops)
+    got = {r.payload.class_name for r in g.scroll_all(
+        Filter(must_not=(("class_name", "a"), ("class_name", "b"))))}
+    assert got == {"c"}
 
 
 def test_should_filter_algebra(rng):

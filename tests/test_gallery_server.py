@@ -256,3 +256,39 @@ def test_filter_should_native_wire(server, rng):
                                should=(("class_name", "a"),)))
     assert body == {"filter": {"is_delegate": False},
                     "filter_should": [["class_name", "a"]]}
+
+
+def test_maintain_endpoint_reclaims_and_persists(server, rng):
+    """POST /collections/<name>/maintain runs the deferred compaction
+    INSIDE the server process and makes the reclaim durable (base
+    rewrite — a restart must not replay the tombstones). The Python
+    client's maintain() drives the same endpoint (rbod store maintain
+    against an http store used to AttributeError; review finding)."""
+    base, root = server
+    call("PUT", f"{base}/collections/mw", {"dim": 8})
+    vecs = rng.normal(size=(10, 8)).astype(np.float32)
+    call("POST", f"{base}/collections/mw/points",
+         {"ids": [f"i{j}" for j in range(10)], "vectors": vecs.tolist(),
+          "payloads": [{"data_type": "original_images", "class_name": "a",
+                        "img_path": f"/m/{i}.png"} for i in range(10)]})
+    call("POST", f"{base}/collections/mw/points/delete",
+         {"ids": ["i0", "i1"]})
+    # Below the dead-fraction threshold nothing is due without force.
+    status, res = call("POST", f"{base}/collections/mw/maintain", {})
+    assert (status, res["reclaimed"]) == (200, 0)
+    from retrieval_based_object_detection_tpu.gallery.client import (
+        GalleryClient,
+    )
+
+    assert GalleryClient(base, "mw").maintain(force=True) == 2
+    status, res = call("GET", f"{base}/collections/mw/count")
+    assert res["count"] == 8
+    # Durable: a fresh service over the same root sees the compacted
+    # store (no tombstone resurrection from replayed deltas).
+    from retrieval_based_object_detection_tpu.gallery.server import (
+        GalleryService,
+    )
+
+    svc2 = GalleryService(root)
+    g2 = svc2.store.get("mw")
+    assert len(g2) == 8 and g2._n_dead == 0

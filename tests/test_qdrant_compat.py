@@ -191,9 +191,27 @@ def test_must_not_over_the_wire(qdrant_api, rng):
     out = _req("POST", f"{base}/collections/neg/points/search",
                {"vector": vecs[1].tolist(), "limit": 3, "filter": flt})
     assert all(h["payload"]["class_name"] == "b" for h in out["result"])
+    # one field in SEVERAL must_not conditions (class NOT IN {a, b}):
+    # Qdrant's clause-list form a single mapping cannot carry — must
+    # exclude BOTH, not last-wins (review finding: dict(pairs) dropped
+    # the first condition and returned rows Qdrant would exclude).
+    out = _req("POST", f"{base}/collections/neg/points/count",
+               {"filter": {"must_not": [
+                   {"key": "class_name", "match": {"value": "a"}},
+                   {"key": "class_name", "match": {"value": "b"}}]}})
+    assert out["result"]["count"] == 0  # classes here are only a/b
+    # contradictory must duplicates -> loud 400, not last-wins.
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req("POST", f"{base}/collections/neg/points/count",
+             {"filter": {"must": [
+                 {"key": "class_name", "match": {"value": "a"}},
+                 {"key": "class_name", "match": {"value": "b"}}]}})
+    assert e.value.code == 400
+    assert "contradictory" in json.loads(e.value.read())["status"]["error"]
     # range is still out of the compatibility claim (the fixed 8-field
     # schema has no numeric fields) -> clear 4xx.
-    import urllib.error
 
     with pytest.raises(urllib.error.HTTPError) as e:
         _req("POST", f"{base}/collections/neg/points/count",

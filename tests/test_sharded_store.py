@@ -225,3 +225,21 @@ def test_sharded_view_id_keyed_write_parity(rng):
     assert view.delete(["id10", "missing"]) == 1
     _, idx = view.search(newv[0], k=1)
     assert view.ids_of(idx)[0][0] != "id10"
+
+
+def test_capacity_scale_exact_raises_not_degrades(rng, monkeypatch):
+    """Past the per-chip budget the sharded view keeps bf16+int4 planes
+    only; a default (exact=True) search must FAIL LOUDLY, not silently
+    serve int4-quantised top-k as if it were exact (review finding).
+    exact=False and pinned sub-tiers keep serving."""
+    monkeypatch.setattr(Gallery, "CAPACITY_AUTO_BYTES", 1)
+    g, ids, vecs = _fill(rng)
+    g.attach_mesh(gallery_mesh(8))
+    with pytest.raises(ValueError, match="exact search is unavailable"):
+        g.search(vecs[3], k=5)
+    assert g._shard_view.capacity  # the view did build in capacity mode
+    got = [h.id for h in g.search(vecs[3], k=5, exact=False)[0]]
+    assert got[0] == "id3"
+    got = [h.id for h in g.search(vecs[3], k=5,
+                                  method="sharded_int4")[0]]
+    assert got[0] == "id3"
