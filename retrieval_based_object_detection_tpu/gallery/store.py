@@ -323,7 +323,6 @@ class Gallery:
             )
         if len(payloads) != len(ids):
             raise ValueError("payloads/ids length mismatch")
-        self._ensure_capacity(len(ids))
         pls = [Payload.from_dict(p) if isinstance(p, dict) else p
                for p in payloads]
         if len(set(ids)) != len(ids):
@@ -350,6 +349,16 @@ class Gallery:
                 self._ids.append(pid)
                 self._id_to_row[pid] = row
             rows[i] = row
+        # Grow only for genuinely NEW rows, after they are known. A
+        # snapshot-adopted gallery has zero headroom (restart adopts the
+        # vector block in place, persist._adopt_vectors), so the old
+        # unconditional _ensure_capacity(len(ids)) turned the delta
+        # replay's single-row OVERWRITE into a full geometric realloc —
+        # 2x-capacity alloc + whole-gallery copy, faulting the entire
+        # COW mmap in from disk (measured: 252 s of the 10M flagship's
+        # "mmap restart", 8.5 s at 1M; with this ordering the restart is
+        # back to the format-3 milliseconds).
+        self._ensure_capacity(0)
         self._vectors[rows] = vectors
         self._payloads.set_rows(rows, pls)
         # Only OVERWRITES of already-present rows enter the dirty range;

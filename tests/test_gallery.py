@@ -152,6 +152,36 @@ def test_growth_beyond_initial_capacity(rng):
     assert g.count(Filter(must={"class_name": "cola"})) == 100
 
 
+def test_overwrite_never_grows_capacity(rng, tmp_path):
+    """Re-upserting EXISTING ids must not touch capacity — a snapshot-
+    adopted gallery has zero headroom (persist._adopt_vectors), so the
+    old unconditional pre-grow turned the delta replay's single-row
+    overwrite into a 2x realloc + whole-gallery copy (252 s of the 10M
+    flagship's restart; 8.5 s at 1M)."""
+    g = Gallery("t", dim=DIM, capacity=4)
+    ids, vecs = fill(g, 4, rng=rng)
+    assert g._capacity == 4
+    g.upsert(ids, vecs + 1.0, [make_payload() for _ in ids])
+    assert g._capacity == 4          # pure overwrite: no growth
+    fill(g, 5, rng=rng, cls="pepsi")  # genuinely new ids still grow
+    assert g._capacity >= 9 and len(g) == 9
+
+    # The restart scenario end-to-end: adopted base + one-overwrite delta.
+    store = VectorStore()
+    big = Gallery("big", dim=DIM, capacity=2048)
+    store._collections["big"] = big
+    bids, bvecs = fill(big, 2000, rng=rng)
+    save_store(store, tmp_path / "snap")
+    big.upsert(bids[:1], bvecs[:1] * 2.0, [make_payload()])
+    save_store(store, tmp_path / "snap")  # delta
+    s2 = load_store(tmp_path / "snap", mmap_vectors=True)
+    g2 = s2.get("big")
+    assert len(g2) == 2000
+    assert g2._capacity == 2000      # replay adopted + patched in place
+    np.testing.assert_allclose(g2.retrieve(bids[:1])[0].vector,
+                               bvecs[0] * 2.0, rtol=1e-6)
+
+
 def test_vector_store_crud():
     store = VectorStore()
     store.create_collection("a", dim=DIM)
