@@ -131,6 +131,16 @@ def save_gallery(gallery: Gallery, root: str | Path,
             "deleted": sorted(deleted),
             "columns": gallery._payloads.export_rows(rows),
         }
+        if gallery._snap_rows_valid:
+            # Row-indexed ops: live row numbering still matches the base
+            # (no compaction since it was written), so the replay can
+            # write rows directly on a lazily loaded gallery — no id-map
+            # or path-index materialisation (252 s of the 10M flagship's
+            # restart was a one-row delta forcing those builds). A
+            # compaction clears the flag and the replay falls back to
+            # the id-keyed path (rows would be stale).
+            meta["rows"] = [int(r) for r in rows]
+            meta["dead_rows"] = sorted(gallery._snap_dead_rows)
         vecs = (gallery._vectors[rows] if len(rows)
                 else np.zeros((0, gallery.dim), np.float32))
         tmp = root / f".{gallery.name}.rbod.d{seq}.tmp"
@@ -139,6 +149,7 @@ def save_gallery(gallery: Gallery, root: str | Path,
         gallery._snap_seq = seq
         gallery._snap_dirty.clear()
         gallery._snap_deleted.clear()
+        gallery._snap_dead_rows.clear()
         return
 
     # Full base rewrite (also collapses any existing delta chain).
@@ -177,6 +188,8 @@ def save_gallery(gallery: Gallery, root: str | Path,
     gallery._snap_seq = 0
     gallery._snap_dirty.clear()
     gallery._snap_deleted.clear()
+    gallery._snap_dead_rows.clear()
+    gallery._snap_rows_valid = True  # fresh base: live rows == base rows
 
 
 def load_gallery(name: str, root: str | Path,
@@ -255,6 +268,7 @@ def _apply_deltas(g: Gallery, snap_id: str | None,
     expected = 1
     applied = 0
     broken = False
+    chain_fast = True  # flips off permanently after any id-keyed replay
     for seq, path in deltas:
         try:
             vectors, blob = native.snapshot_read(path)
@@ -296,12 +310,28 @@ def _apply_deltas(g: Gallery, snap_id: str | None,
             broken = True
             break
         ids = meta["ids"]
-        if ids:
-            cols = PayloadColumns.import_columns(meta["columns"], len(ids))
-            g.upsert(ids, vectors[: len(ids)],
-                     [cols.get_row(i) for i in range(len(ids))])
-        if meta.get("deleted"):
-            g.delete(ids=meta["deleted"])
+        fast = False
+        if chain_fast and meta.get("rows") is not None:
+            try:
+                _replay_delta_fast(g, meta, vectors)
+                fast = True
+            except _FastReplayInvalid:
+                fast = False
+        if not fast:
+            # Id-keyed replay (pre-row-format deltas, or any fast-path
+            # precondition violated). Once one delta replays by id the
+            # rest of the chain must too: the id-keyed path can lay a
+            # re-added point out on a different row than the live
+            # gallery did, so later ROW-indexed deltas would no longer
+            # line up.
+            chain_fast = False
+            if ids:
+                cols = PayloadColumns.import_columns(meta["columns"],
+                                                     len(ids))
+                g.upsert(ids, vectors[: len(ids)],
+                         [cols.get_row(i) for i in range(len(ids))])
+            if meta.get("deleted"):
+                g.delete(ids=meta["deleted"])
         expected = seq + 1
         applied = seq
     if broken:
@@ -325,7 +355,102 @@ def _apply_deltas(g: Gallery, snap_id: str | None,
     g._snap_seq = applied
     g._snap_dirty.clear()
     g._snap_deleted.clear()
+    g._snap_dead_rows.clear()
     return g
+
+
+class _FastReplayInvalid(Exception):
+    """A row-indexed delta's preconditions do not hold against this
+    gallery — the caller falls back to the id-keyed replay."""
+
+
+def _replay_delta_fast(g: Gallery, meta: dict, vectors: np.ndarray) -> None:
+    """Apply one ROW-indexed delta without materialising the lazily
+    loaded id map / id list / path index.
+
+    The writer records each dirty id's live row plus every row
+    tombstoned since the last save (save_gallery), valid because row
+    numbering is frozen between base snapshots (deletes tombstone in
+    place; compaction invalidates the flag and downgrades the chain to
+    id-keyed deltas). Overwrites patch buffers directly; appends extend
+    the raw fixed-width id table; deletes flip the alive mask — so a
+    one-row delta on a 10M-row base replays in microseconds instead of
+    forcing the ~20 s id/path materialisation (the round-4 flagship
+    restart measured 252 s before this path existed).
+    """
+    from retrieval_based_object_detection_tpu.gallery.schema import (
+        PayloadColumns,
+    )
+
+    ids = meta["ids"]
+    rows = np.asarray(meta["rows"], np.int64)
+    dead = np.asarray(sorted(int(r) for r in meta.get("dead_rows", ())),
+                      np.int64)
+    nphys = g._nrows
+    # ---- validate everything BEFORE touching the gallery -------------
+    if len(rows) != len(ids):
+        raise _FastReplayInvalid("rows/ids length mismatch")
+    if len(dead) and (dead[0] < 0 or dead[-1] >= nphys):
+        raise _FastReplayInvalid("dead row out of range")
+    if meta.get("deleted") and not len(dead):
+        # Ids were deleted but their rows were not recorded — replaying
+        # only the upserts would resurrect them.
+        raise _FastReplayInvalid("deleted ids without dead_rows")
+    if len(rows):
+        if rows.min() < 0 or len(np.unique(rows)) != len(rows):
+            raise _FastReplayInvalid("invalid/duplicate rows")
+        if np.intersect1d(rows, dead).size:
+            raise _FastReplayInvalid("row both written and dead")
+        app = np.sort(rows[rows >= nphys])
+        if len(app) and not np.array_equal(
+                app, np.arange(nphys, nphys + len(app))):
+            raise _FastReplayInvalid("append rows not contiguous")
+    if g._cap_view is not None or g._shard_view is not None \
+            or g._resolved_paths is not None:
+        # Derived views never exist during a load; if one does, take the
+        # id-keyed path that maintains them.
+        raise _FastReplayInvalid("derived views live")
+
+    # ---- deletes: tombstone rows in place ----------------------------
+    for r in dead:
+        r = int(r)
+        if not g._alive[r]:
+            continue
+        g._alive[r] = False
+        g._n_dead += 1
+        g._payloads.clear_path(r)  # lazy-safe (pending overlay)
+        if g._id_map is not None:
+            pid = g._ids[r]
+            if g._id_map.get(pid) == r:
+                del g._id_map[pid]
+
+    # ---- upserts: direct row writes ----------------------------------
+    if len(rows):
+        k_new = int((rows >= nphys).sum())
+        if k_new:
+            g._ensure_capacity(k_new)
+            order = np.argsort(rows, kind="stable")
+            appends = [(int(rows[i]), ids[i]) for i in order
+                       if rows[i] >= nphys]
+            if g._ids_list is not None:
+                for r, pid in appends:
+                    g._ids_list.append(pid)
+                    if g._id_map is not None:
+                        g._id_map[pid] = r
+            else:
+                new_b = [pid.encode("utf-8") for _, pid in appends]
+                w = max(g._ids_arr.dtype.itemsize,
+                        max(len(b) for b in new_b))
+                tail = np.array(new_b, dtype=f"S{w}")
+                base = (g._ids_arr if w == g._ids_arr.dtype.itemsize
+                        else g._ids_arr.astype(f"S{w}"))
+                g._ids_arr = np.concatenate([base, tail])
+        cols = PayloadColumns.import_columns(meta["columns"], len(ids))
+        pls = [cols.get_row(i) for i in range(len(ids))]
+        g._vectors[rows] = vectors[: len(ids)]
+        g._payloads.set_rows(rows, pls)  # lazy-safe (pending overlay)
+    g._mask_cache.clear()
+    g._wseq += 1
 
 
 def _adopt_vectors(g: Gallery, vectors: np.ndarray, n: int,

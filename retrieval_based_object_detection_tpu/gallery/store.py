@@ -157,6 +157,13 @@ class Gallery:
         # across compaction), bounded by the full-save churn threshold.
         self._snap_dirty: set[str] = set()
         self._snap_deleted: set[str] = set()
+        # Row indices tombstoned since the last save + whether live row
+        # numbering still matches the base snapshot (compaction
+        # renumbers). Lets delta saves record ROW-indexed ops that
+        # replay on a lazily loaded gallery without materialising the
+        # id map / path index (persist._replay_delta_fast).
+        self._snap_dead_rows: set[int] = set()
+        self._snap_rows_valid = True
         self._snap_root: str | None = None  # root of the current base
         self._snap_id: str | None = None    # base snapshot identity
         self._snap_seq = 0                  # last delta sequence number
@@ -236,10 +243,19 @@ class Gallery:
             else:
                 # Rebuild excludes tombstoned rows (delete() removes
                 # their entries eagerly on the materialised map; a lazy
-                # rebuild must agree).
-                alive = self._alive
-                self._id_map = {pid: i for i, pid in enumerate(ids)
-                                if alive[i]}
+                # rebuild must agree). C-speed build then O(dead)
+                # correction — the alive-filtered comprehension costs
+                # ~2.5 s/1M rows; row-indexed delta replay makes
+                # dead-bearing lazy galleries a real path.
+                m = dict(zip(ids, range(len(ids))))
+                for r in np.nonzero(~self._alive[: len(ids)])[0]:
+                    pid = ids[int(r)]
+                    # A re-added id maps to its LIVE row (later wins in
+                    # the zip); only drop entries still pointing at the
+                    # dead row.
+                    if m.get(pid) == int(r):
+                        del m[pid]
+                self._id_map = m
         return self._id_map
 
     @_id_to_row.setter
@@ -279,7 +295,10 @@ class Gallery:
 
     # ------------------------------------------------------------ writes
     def _ensure_capacity(self, extra: int) -> None:
-        need = len(self._ids) + extra
+        # _nrows, not len(self._ids): growth must not force a lazily
+        # loaded id table to materialise (the row-indexed delta replay
+        # appends without ever touching the id map).
+        need = self._nrows + extra
         if need <= self._capacity:
             return
         new_cap = self._capacity
@@ -446,6 +465,7 @@ class Gallery:
             pid = self._ids[r]
             self._snap_deleted.add(pid)
             self._snap_dirty.discard(pid)
+            self._snap_dead_rows.add(r)
             if self._id_to_row.get(pid) == r:
                 del self._id_to_row[pid]
             self._payloads.clear_path(r)
@@ -520,6 +540,11 @@ class Gallery:
         reclaimed = self._n_dead
         self._n_dead = 0
         self._wseq += 1
+        # Row numbering no longer matches the base snapshot: subsequent
+        # delta saves must fall back to id-keyed ops (row-indexed delta
+        # replay would write the wrong rows).
+        self._snap_rows_valid = False
+        self._snap_dead_rows.clear()
         self._invalidate_mirrors()  # compaction reshuffles rows
         return reclaimed
 

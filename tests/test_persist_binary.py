@@ -198,3 +198,127 @@ def test_variable_width_ids(rng, tmp_path):
     assert g2._ids == ids
     for i, pid in enumerate(ids):
         np.testing.assert_allclose(g2.retrieve([pid])[0].vector, vecs[i])
+
+def _sem_state(g):
+    """Semantic content: id -> (vector, payload) for every live point."""
+    out = {}
+    for r in g.scroll_all(None, with_vectors=True):
+        out[r.id] = (np.asarray(r.vector).round(5).tobytes(), r.payload)
+    return out
+
+
+def test_row_indexed_delta_replays_lazily(rng, tmp_path):
+    """A row-bearing delta chain (overwrite + append + delete +
+    delete-then-readd) replays WITHOUT materialising the id map, id
+    list, or path index — and reproduces the live gallery exactly."""
+    store = VectorStore()
+    g = store.create_collection("rowd", dim=DIM)
+    ids, vecs, pls = _mk(rng, 2000)
+    g.upsert(ids, vecs, pls)
+    persist.save_store(store, tmp_path)  # base
+
+    # churn: overwrite, append, plain delete, delete-then-readd
+    nv = rng.normal(size=(4, DIM)).astype(np.float32)
+    g.upsert([ids[17]], nv[:1],
+             [Payload(data_type="original_images", class_name="over",
+                      img_path="/new/seventeen.png")])
+    g.upsert(["appended"], nv[1:2],
+             [Payload(data_type="original_images", class_name="app",
+                      img_path="/new/appended.png")])
+    g.delete(ids=[ids[99]])
+    g.delete(ids=[ids[42]])
+    g.upsert([ids[42]], nv[2:3],
+             [Payload(data_type="original_images", class_name="readd",
+                      img_path="/new/fortytwo.png")])
+    persist.save_store(store, tmp_path)  # delta 1 (row-indexed)
+    meta = json.loads(native.snapshot_read(
+        tmp_path / "rowd.rbod.d1")[1].decode())
+    assert meta.get("rows") is not None and meta.get("dead_rows")
+
+    # second delta in the chain: another overwrite
+    g.upsert([ids[3]], nv[3:4],
+             [Payload(data_type="original_images", class_name="late",
+                      img_path="/new/three.png")])
+    persist.save_store(store, tmp_path)  # delta 2
+
+    g2 = persist.load_store(tmp_path, mmap_vectors=True).get("rowd")
+    # Replay itself must not have materialised the lazy structures.
+    assert g2._ids_list is None and g2._id_map is None
+    assert g2._payloads._paths_lazy is not None
+    # Full semantic parity with the live gallery (incl. row layout).
+    assert len(g2) == len(g)
+    assert _sem_state(g2) == _sem_state(g)
+    assert g2._nrows == g._nrows            # identical physical layout
+    assert list(g2._alive[:g2._nrows]) == list(g._alive[:g._nrows])
+    # Path index correctness through the overlay.
+    assert g2.get_by_path("/new/fortytwo.png").id == ids[42]
+    assert g2.get_by_path(f"/data/c0/img_99.png") is None  # deleted
+    assert g2.get_by_path(f"/data/c2/img_17.png") is None  # overwritten
+    q = nv[2]
+    assert g2.search(q, k=1)[0][0].id == ids[42]
+
+
+def test_compaction_downgrades_delta_chain_to_id_keyed(rng, tmp_path):
+    """Compaction renumbers rows, so deltas saved after it must NOT
+    carry row indices — and the id-keyed replay still lands right."""
+    store = VectorStore()
+    g = store.create_collection("comp", dim=DIM)
+    ids, vecs, pls = _mk(rng, 300)
+    g.upsert(ids, vecs, pls)
+    persist.save_store(store, tmp_path)
+    g.delete(ids=ids[:5])
+    g.maintain(force=True)              # compacts -> rows shift
+    nv = rng.normal(size=(1, DIM)).astype(np.float32)
+    g.upsert([ids[200]], nv,
+             [Payload(data_type="original_images", class_name="after",
+                      img_path="/after.png")])
+    persist.save_store(store, tmp_path)
+    meta = json.loads(native.snapshot_read(
+        tmp_path / "comp.rbod.d1")[1].decode())
+    assert meta.get("rows") is None     # downgraded
+    g2 = persist.load_store(tmp_path, mmap_vectors=True).get("comp")
+    assert len(g2) == 295
+    assert g2.retrieve([ids[200]])[0].payload.class_name == "after"
+    assert g2.retrieve([ids[0]]) == []
+
+
+def test_id_keyed_delta_poisons_rest_of_chain(rng, tmp_path, monkeypatch):
+    """Once one delta replays by id, later row-indexed deltas must too
+    (the id-keyed path may lay re-added points out differently)."""
+    from retrieval_based_object_detection_tpu.gallery import (
+        persist as P,
+    )
+
+    store = VectorStore()
+    g = store.create_collection("mixchain", dim=DIM)
+    ids, vecs, pls = _mk(rng, 500)
+    g.upsert(ids, vecs, pls)
+    persist.save_store(store, tmp_path)
+    # delta 1 WITHOUT rows (simulate an old writer)
+    g._snap_rows_valid = False
+    nv = rng.normal(size=(2, DIM)).astype(np.float32)
+    g.delete(ids=[ids[10]])
+    g.upsert([ids[10]], nv[:1],
+             [Payload(data_type="original_images", class_name="readd",
+                      img_path="/re.png")])
+    persist.save_store(store, tmp_path)
+    # delta 2 WITH rows (new writer again)
+    g._snap_rows_valid = True
+    g._snap_dead_rows.clear()
+    g.upsert([ids[20]], nv[1:],
+             [Payload(data_type="original_images", class_name="later",
+                      img_path="/later.png")])
+    persist.save_store(store, tmp_path)
+    meta2 = json.loads(native.snapshot_read(
+        tmp_path / "mixchain.rbod.d2")[1].decode())
+    assert meta2.get("rows") is not None
+
+    calls = []
+    real = P._replay_delta_fast
+    monkeypatch.setattr(P, "_replay_delta_fast",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+    g2 = persist.load_store(tmp_path, mmap_vectors=True).get("mixchain")
+    assert calls == []                  # chain never re-entered fast mode
+    assert g2.retrieve([ids[10]])[0].payload.class_name == "readd"
+    assert g2.retrieve([ids[20]])[0].payload.class_name == "later"
+    assert len(g2) == 500
