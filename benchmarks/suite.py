@@ -341,21 +341,29 @@ def bench_capacity_10m(quick: bool) -> dict:
     store._collections["cap10m"] = g
     rng = np.random.default_rng(7)
     t0 = _time.perf_counter()
+    upsert_s = 0.0
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
-        vecs = rng.normal(size=(hi - lo, d)).astype(np.float32)
+        # f32-native generation outside the timed region: profiling
+        # showed ~80% of the old "ingest" number was float64 RNG +
+        # astype + Payload construction — synthetic-data cost, not
+        # store throughput. The wall number keeps the whole loop.
+        vecs = rng.standard_normal(size=(hi - lo, d), dtype=np.float32)
         ids = [f"{i:09d}" for i in range(lo, hi)]
         pls = [Payload(data_type="original_images",
                        class_name=f"cls{i % 1000}",
                        img_path=f"/data/cls{i % 1000}/img_{i}.png")
                for i in range(lo, hi)]
+        tu = _time.perf_counter()
         g.upsert(ids, vecs, pls)
+        upsert_s += _time.perf_counter() - tu
         if lo % (1 << 21) == 0:
             print(f"  ingest {hi / 1e6:.1f}M/{n / 1e6:.0f}M rows "
                   f"({_time.perf_counter() - t0:.0f}s)", flush=True)
     ingest_s = _time.perf_counter() - t0
-    out["ingest_s"] = round(ingest_s, 1)
-    out["ingest_rows_per_s"] = round(n / ingest_s)
+    out["ingest_wall_s"] = round(ingest_s, 1)
+    out["upsert_s"] = round(upsert_s, 1)
+    out["upsert_rows_per_s"] = round(n / upsert_s)
     out["host_rss_gb_after_ingest"] = rss_gb()
 
     # ---- 2. first serving search: auto route -> capacity tier -------

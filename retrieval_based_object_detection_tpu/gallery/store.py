@@ -378,7 +378,14 @@ class Gallery:
         # "mmap restart", 8.5 s at 1M; with this ordering the restart is
         # back to the format-3 milliseconds).
         self._ensure_capacity(0)
-        self._vectors[rows] = vectors
+        if (rows[0] == old_len and rows[-1] == old_len + len(rows) - 1
+                and len(self._ids) == old_len + len(rows)):
+            # Pure append (the bulk-ingest hot path): slice assignment
+            # streams sequentially instead of scatter-writing through an
+            # index array — measurably faster into a disk-backed memmap.
+            self._vectors[old_len: old_len + len(rows)] = vectors
+        else:
+            self._vectors[rows] = vectors
         self._payloads.set_rows(rows, pls)
         # Only OVERWRITES of already-present rows enter the dirty range;
         # the appended tail is tracked by _synced < n. Folding both into
