@@ -22,10 +22,31 @@ search consumes as an additive penalty (static shapes, no gathers).
 
 from __future__ import annotations
 
+import contextlib
+import gc
 from dataclasses import dataclass, field
 from typing import Any, Iterator, Mapping
 
 import numpy as np
+
+
+@contextlib.contextmanager
+def _gc_paused():
+    """Pause the cyclic GC around bulk str/dict materialisations.
+
+    Building a 10M-entry dict of 10M fresh strings triggers repeated
+    full collections on allocation thresholds; none of the guarded
+    builds create reference cycles. Measured on the deferred
+    first-id-op after a 10M-row restart: 40.8 s with GC enabled."""
+    if not gc.isenabled():
+        yield
+        return
+    gc.disable()
+    try:
+        yield
+    finally:
+        gc.enable()
+
 
 FIELDS: tuple[str, ...] = (
     "data_type",
@@ -240,25 +261,53 @@ class PayloadColumns:
         # delta replay) defer their path-index maintenance here
         # (row -> new path, None = cleared); applied by _ensure_paths.
         self._pending_paths: dict[int, Any] = {}
+        # NUL positions inside the lazy blob — lets single rows read
+        # their path as a slice+decode without the full split+dict
+        # build (one 0.4 GB pass at 10M instead of ~20 s of dict
+        # building; built on the first per-row read, dropped once the
+        # blob fully materialises).
+        self._path_offs = None  # np.ndarray[int64] | None
+
+    def _row_path_lazy(self, row: int):
+        """One row's path while the blob is still lazy (overlay first,
+        then a slice of the blob via the NUL-offset table). Returns
+        None for rows past the blob with no overlay entry (cannot
+        happen through the write paths, which always record overlays).
+        """
+        if row in self._pending_paths:
+            return self._pending_paths[row]
+        blob = self._paths_lazy
+        if self._path_offs is None:
+            self._path_offs = np.flatnonzero(
+                np.frombuffer(blob, np.uint8) == 0)
+        offs = self._path_offs
+        n0 = len(offs) + 1  # rows covered by the blob
+        if row >= n0:
+            return None
+        lo = int(offs[row - 1]) + 1 if row else 0
+        hi = int(offs[row]) if row < len(offs) else len(blob)
+        return bytes(blob[lo:hi]).decode("utf-8")
 
     def _ensure_paths(self) -> None:
         blob = self._paths_lazy
         if blob is None:
             return
         self._paths_lazy = None
+        self._path_offs = None
         pending = self._pending_paths
         self._pending_paths = {}
         # The blob covers the snapshot's rows only — ``size`` may have
         # grown past it through lazy-mode appends (all recorded in
         # ``pending``).
-        paths = bytes(blob).decode("utf-8").split("\x00")
-        n0 = min(len(paths), self.size)
-        index: dict[str, int] = {}
-        if n0:
-            self._img_path[:n0] = np.array(paths, dtype=object)[:n0]
-            index = dict(zip(paths[:n0], range(n0)))
-            index.pop("", None)
-        self._path_index = index
+        with _gc_paused():
+            paths = bytes(blob).decode("utf-8").split("\x00")
+            n0 = min(len(paths), self.size)
+            index: dict[str, int] = {}
+            if n0:
+                self._img_path[:n0] = np.array(paths, dtype=object)[:n0]
+                index = dict(zip(paths[:n0], range(n0)))
+                index.pop("", None)
+            self._path_index = index
 
         def _apply(row: int, p) -> None:
             old = self._img_path[row]
@@ -359,14 +408,19 @@ class PayloadColumns:
         self.size = max(self.size, max_row + 1)
 
     def get_row(self, row: int) -> Payload:
-        self._ensure_paths()
         kw: dict[str, Any] = {}
         for f in self._CODED:
             code = int(self._cols[f][row])
             kw[f] = self._decode[f][code] if code >= 0 else None
         for f in BOOL_FIELDS:
             kw[f] = bool(self._cols[f][row])
-        kw["img_path"] = self._img_path[row] or ""
+        if self._paths_lazy is not None:
+            # Per-row slice off the lazy blob: materialising search/
+            # retrieve RESULTS must not pay the full path-index build
+            # (~20 s at 10M rows right after a restart).
+            kw["img_path"] = self._row_path_lazy(row) or ""
+        else:
+            kw["img_path"] = self._img_path[row] or ""
         return Payload(**kw)
 
     def row_by_path(self, img_path: str) -> int | None:
@@ -376,7 +430,8 @@ class PayloadColumns:
     def path_of(self, row: int) -> str:
         """img_path of one row without materialising a full Payload
         (the resolved-path index build touches every row)."""
-        self._ensure_paths()
+        if self._paths_lazy is not None:
+            return self._row_path_lazy(row) or ""
         return self._img_path[row] or ""
 
     def clear_path(self, row: int) -> None:

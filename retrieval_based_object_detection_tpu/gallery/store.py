@@ -33,6 +33,7 @@ from retrieval_based_object_detection_tpu.gallery.schema import (
     Filter,
     Payload,
     PayloadColumns,
+    _gc_paused,
 )
 
 
@@ -136,6 +137,13 @@ class Gallery:
         self._ids_list: list[str] | None = []
         self._ids_arr = None           # np.ndarray[S*] | None
         self._id_map: dict[str, int] | None = {}
+        # Sorted probe over the raw id table: read-only id lookups on a
+        # lazily loaded gallery binary-search the fixed-width bytes
+        # instead of building the 10M-entry str dict (~18 s at 10M;
+        # dict building goes cache-miss-bound at that scale). Dropped
+        # once the real dict materialises (writes prefer the dict).
+        self._ids_sorted = None        # np.ndarray[S*] | None
+        self._ids_order = None         # np.ndarray[int64] | None
         # Tombstone deletes: rows are masked dead in place (the device
         # mirrors stay valid — only the cached filter masks refresh) and
         # physically reclaimed by a lazy compaction once the dead
@@ -220,42 +228,89 @@ class Gallery:
         if self._ids_list is None:
             arr = self._ids_arr
             self._ids_arr = None
-            # numpy 'S' access strips the trailing NUL padding.
-            self._ids_list = ([b.decode("utf-8") for b in arr.tolist()]
-                              if arr is not None else [])
+            # numpy 'S' access strips the trailing NUL padding. GC
+            # paused: allocating 10M str objects triggers repeated
+            # full collections that dominate the build (the deferred
+            # first-id-op after a 10M restart measured 40.8 s with GC,
+            # ~4x less without; nothing here creates cycles).
+            with _gc_paused():
+                self._ids_list = ([b.decode("utf-8") for b in arr.tolist()]
+                                  if arr is not None else [])
         return self._ids_list
 
     @_ids.setter
     def _ids(self, value) -> None:
         self._ids_list = list(value)
         self._ids_arr = None
+        self._ids_sorted = None
+        self._ids_order = None
+
+    def _id_at(self, row: int) -> str:
+        """One row's id without materialising the full str list (search
+        and retrieve RESULTS decode only the rows they return)."""
+        if self._ids_list is not None:
+            return self._ids_list[row]
+        return self._ids_arr[row].decode("utf-8")
+
+    def _row_of(self, pid: str) -> int | None:
+        """Read-only id -> live row lookup. Prefers the materialised
+        dict; on a lazily loaded gallery it binary-searches the raw id
+        table (built once, ~2 s at 10M vs ~18 s for the dict) so a
+        restart's first retrieve answers in milliseconds. Tombstoned
+        rows (row-indexed delta deletes) are skipped; a re-added id has
+        two table entries and resolves to the alive one."""
+        if self._id_map is not None:
+            return self._id_map.get(pid)
+        arr = self._ids_arr
+        if arr is None:  # ids materialised but map not: build the map
+            return self._id_to_row.get(pid)
+        if self._ids_sorted is None or \
+                len(self._ids_sorted) != len(arr):
+            order = np.argsort(arr, kind="stable")
+            self._ids_order = order
+            self._ids_sorted = arr[order]
+        b = pid.encode("utf-8")
+        if len(b) > arr.dtype.itemsize:
+            return None
+        lo = int(np.searchsorted(self._ids_sorted, b, side="left"))
+        hi = int(np.searchsorted(self._ids_sorted, b, side="right"))
+        for i in range(lo, hi):
+            row = int(self._ids_order[i])
+            if self._alive[row]:
+                return row
+        return None
 
     @property
     def _id_to_row(self) -> dict[str, int]:
         if self._id_map is None:
-            ids = self._ids
-            if self._n_dead == 0:
-                # C-speed build — the per-element ``alive[i]`` filtered
-                # comprehension costs ~2.5 s/1M rows vs ~0.4 s for
-                # dict(zip); fresh loads (the only lazy producer) have
-                # no tombstones, so this is the hot path.
-                self._id_map = dict(zip(ids, range(len(ids))))
-            else:
-                # Rebuild excludes tombstoned rows (delete() removes
-                # their entries eagerly on the materialised map; a lazy
-                # rebuild must agree). C-speed build then O(dead)
-                # correction — the alive-filtered comprehension costs
-                # ~2.5 s/1M rows; row-indexed delta replay makes
-                # dead-bearing lazy galleries a real path.
-                m = dict(zip(ids, range(len(ids))))
-                for r in np.nonzero(~self._alive[: len(ids)])[0]:
-                    pid = ids[int(r)]
-                    # A re-added id maps to its LIVE row (later wins in
-                    # the zip); only drop entries still pointing at the
-                    # dead row.
-                    if m.get(pid) == int(r):
-                        del m[pid]
-                self._id_map = m
+            with _gc_paused():
+                ids = self._ids
+                if self._n_dead == 0:
+                    # C-speed build — the per-element ``alive[i]``
+                    # filtered comprehension costs ~2.5 s/1M rows vs
+                    # ~0.4 s for dict(zip); fresh loads (the only lazy
+                    # producer) have no tombstones, so this is the hot
+                    # path.
+                    self._id_map = dict(zip(ids, range(len(ids))))
+                else:
+                    # Rebuild excludes tombstoned rows (delete() removes
+                    # their entries eagerly on the materialised map; a
+                    # lazy rebuild must agree). C-speed build then
+                    # O(dead) correction — the alive-filtered
+                    # comprehension costs ~2.5 s/1M rows; row-indexed
+                    # delta replay makes dead-bearing lazy galleries a
+                    # real path.
+                    m = dict(zip(ids, range(len(ids))))
+                    for r in np.nonzero(~self._alive[: len(ids)])[0]:
+                        pid = ids[int(r)]
+                        # A re-added id maps to its LIVE row (later
+                        # wins in the zip); only drop entries still
+                        # pointing at the dead row.
+                        if m.get(pid) == int(r):
+                            del m[pid]
+                    self._id_map = m
+            self._ids_sorted = None  # the dict supersedes the probe
+            self._ids_order = None
         return self._id_map
 
     @_id_to_row.setter
@@ -560,7 +615,7 @@ class Gallery:
                  ) -> list[Record]:
         out = []
         for pid in ids:
-            row = self._id_to_row.get(pid)
+            row = self._row_of(pid)  # lazy-probe friendly (restart path)
             if row is None:
                 continue
             out.append(
@@ -587,7 +642,7 @@ class Gallery:
         if row is None:
             return None
         return Record(
-            id=self._ids[row],
+            id=self._id_at(row),
             payload=self._payloads.get_row(row),
             vector=self._vectors[row].copy() if with_vectors else None,
         )
@@ -697,9 +752,11 @@ class Gallery:
         mask = self._mask_live(flt)
         rows = np.nonzero(mask)[0]
         window = rows[offset : offset + limit]
+        if len(window) > 65536:
+            self._payloads._ensure_paths()  # bulk: one split beats per-row
         records = [
             Record(
-                id=self._ids[r],
+                id=self._id_at(int(r)),
                 payload=self._payloads.get_row(int(r)),
                 vector=self._vectors[r].copy() if with_vectors else None,
             )
@@ -722,9 +779,11 @@ class Gallery:
         once and materialises every match."""
         mask = self._mask_live(flt)
         rows = np.nonzero(mask)[0]
+        if len(rows) > 65536:
+            self._payloads._ensure_paths()  # bulk: one split beats per-row
         return [
             Record(
-                id=self._ids[r],
+                id=self._id_at(int(r)),
                 payload=self._payloads.get_row(int(r)),
                 vector=self._vectors[r].copy() if with_vectors else None,
             )
@@ -1075,7 +1134,7 @@ class Gallery:
                     break
                 row = int(idx[qi, j])
                 hits.append(Record(
-                    id=self._ids[row],
+                    id=self._id_at(row),
                     payload=self._payloads.get_row(row),
                     vector=self._vectors[row].copy()
                     if with_vectors else None,
@@ -1120,7 +1179,7 @@ class Gallery:
                     break
                 row = int(idx[qi, j])
                 hits.append(Record(
-                    id=self._ids[row],
+                    id=self._id_at(row),
                     payload=self._payloads.get_row(row),
                     vector=self._vectors[row].copy()
                     if with_vectors else None,
@@ -1299,7 +1358,7 @@ class Gallery:
                 row = int(idx[qi, j])
                 hits.append(
                     Record(
-                        id=self._ids[row],
+                        id=self._id_at(row),
                         payload=self._payloads.get_row(row),
                         vector=self._vectors[row].copy()
                         if with_vectors else None,

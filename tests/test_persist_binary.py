@@ -81,15 +81,23 @@ def test_load_is_lazy_until_first_use(rng, tmp_path):
     # len/count don't materialise (header-sized work only).
     assert len(g2) == 2000
     assert g2._ids_list is None and g2._id_map is None
-    # First id-keyed op builds the map; first path op builds the index.
+    # Read-only id lookups go through the sorted probe — the dict stays
+    # lazy (retrieve right after a 10M restart must not pay an ~18 s
+    # dict build); result payloads slice their path off the lazy blob.
     assert g2.retrieve([ids[5]])[0].payload.class_name == "cls2"
-    assert g2._id_map is not None
+    assert g2._id_map is None and g2._ids_sorted is not None
+    assert g2.retrieve([ids[5]])[0].payload.img_path == \
+        "/data/c2/img_5.png"
+    assert g2._payloads._paths_lazy is not None  # still unsplit
+    # get_by_path needs the full reverse index — that materialises it.
     assert g2.get_by_path("/data/c0/img_0.png").id == ids[0]
     assert g2._payloads._paths_lazy is None
-    # And writes after materialisation behave normally.
+    # A write builds the real dict (mutation path) and drops the probe.
+    assert g2._id_map is None
     g2.upsert(["new"], rng.normal(size=(1, DIM)).astype(np.float32),
               [Payload(data_type="original_images", class_name="cls0",
                        img_path="/data/new.png")])
+    assert g2._id_map is not None and g2._ids_sorted is None
     assert g2.get_by_path("/data/new.png").id == "new"
 
 
@@ -245,6 +253,17 @@ def test_row_indexed_delta_replays_lazily(rng, tmp_path):
     # Replay itself must not have materialised the lazy structures.
     assert g2._ids_list is None and g2._id_map is None
     assert g2._payloads._paths_lazy is not None
+    # Read-only lookups through the sorted probe, against replayed
+    # state: the re-added id has TWO table entries (tombstoned old row
+    # + appended row) and must resolve to the alive one; deleted ids
+    # resolve to nothing; appended ids are probe-visible. All without
+    # building the id dict.
+    assert g2.retrieve([ids[42]])[0].payload.class_name == "readd"
+    assert g2.retrieve([ids[99]]) == []
+    assert g2.retrieve(["appended"])[0].payload.class_name == "app"
+    assert g2.retrieve([ids[17]])[0].payload.img_path == \
+        "/new/seventeen.png"
+    assert g2._id_map is None and g2._payloads._paths_lazy is not None
     # Full semantic parity with the live gallery (incl. row layout).
     assert len(g2) == len(g)
     assert _sem_state(g2) == _sem_state(g)
