@@ -423,6 +423,14 @@ def _replay_delta_fast(g: Gallery, meta: dict, vectors: np.ndarray) -> None:
             pid = g._ids[r]
             if g._id_map.get(pid) == r:
                 del g._id_map[pid]
+    if (len(dead)
+            and g._n_dead >= g._COMPACT_DEAD_MIN
+            and g._n_dead >= g._COMPACT_DEAD_FRACTION * nphys):
+        # Re-arm deferred compaction like the id-keyed path would (it
+        # routes through g.delete): a maintain() window scheduled after
+        # a restart must still reclaim tombstone space accrued before
+        # it. Never compact inline here — the restart stays fast.
+        g._compact_due = True
 
     # ---- upserts: direct row writes ----------------------------------
     if len(rows):

@@ -753,7 +753,8 @@ class Gallery:
         rows = np.nonzero(mask)[0]
         window = rows[offset : offset + limit]
         if len(window) > 65536:
-            self._payloads._ensure_paths()  # bulk: one split beats per-row
+            _ = self._ids                   # bulk: one decode pass,
+            self._payloads._ensure_paths()  # one split — beats per-row
         records = [
             Record(
                 id=self._id_at(int(r)),
@@ -780,7 +781,8 @@ class Gallery:
         mask = self._mask_live(flt)
         rows = np.nonzero(mask)[0]
         if len(rows) > 65536:
-            self._payloads._ensure_paths()  # bulk: one split beats per-row
+            _ = self._ids                   # bulk: one decode pass,
+            self._payloads._ensure_paths()  # one split — beats per-row
         return [
             Record(
                 id=self._id_at(int(r)),

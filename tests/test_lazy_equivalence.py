@@ -100,6 +100,13 @@ def test_lazy_load_equals_eager_load(pre, post, seed, tmp_path_factory):
 
     lazy = persist.load_store(tmp_path, mmap_vectors=True).get("lz")
     eager = persist.load_store(tmp_path, mmap_vectors=False).get("lz")
+    # Force the "eager" twin onto the dict-backed paths — a binary load
+    # is lazy regardless of mmap_vectors, and two lazy twins would let
+    # a systematic probe/overlay bug agree with itself (review finding).
+    _ = eager._id_to_row
+    eager._payloads._ensure_paths()
+    assert eager._id_map is not None
+    assert eager._payloads._paths_lazy is None
 
     rng_a = np.random.default_rng(seed + 2)
     rng_b = np.random.default_rng(seed + 2)

@@ -341,3 +341,29 @@ def test_id_keyed_delta_poisons_rest_of_chain(rng, tmp_path, monkeypatch):
     assert g2.retrieve([ids[10]])[0].payload.class_name == "readd"
     assert g2.retrieve([ids[20]])[0].payload.class_name == "later"
     assert len(g2) == 500
+
+def test_fast_replay_rearms_deferred_compaction(rng, tmp_path,
+                                                monkeypatch):
+    """Row-indexed replay must re-evaluate the dead-row threshold like
+    the id-keyed path (which routes through g.delete): a maintain()
+    window scheduled after a restart must reclaim tombstone space
+    accrued before it (review finding)."""
+    monkeypatch.setattr(Gallery, "_COMPACT_DEAD_MIN", 64)
+    monkeypatch.setattr(Gallery, "_COMPACT_INLINE_MAX_ROWS", 1)  # defer
+    store = VectorStore()
+    g = store.create_collection("rearm", dim=DIM)
+    ids, vecs, pls = _mk(rng, 4000)
+    g.upsert(ids, vecs, pls)
+    persist.save_store(store, tmp_path)
+    # Tombstones accrue across TWO delta saves (each under the 25%
+    # delta-churn ceiling; together past the 25% dead-row threshold).
+    assert g.delete(ids=ids[:600]) == 600
+    persist.save_store(store, tmp_path)       # row-indexed delta 1
+    assert g.delete(ids=ids[600:1200]) == 600
+    assert g._compact_due                     # live writer is armed
+    persist.save_store(store, tmp_path)       # row-indexed delta 2
+    g2 = persist.load_store(tmp_path, mmap_vectors=True).get("rearm")
+    assert g2._ids_list is None               # fast replay ran
+    assert g2._n_dead == 1200 and g2._compact_due
+    assert g2.maintain() == 1200              # non-force window reclaims
+    assert len(g2) == 2800
