@@ -468,8 +468,13 @@ class Gallery:
         self._shard_mask_cache.clear()
         self._patch_resolved(rows)
         self._wseq += 1
-        self._snap_dirty.update(ids)
-        self._snap_deleted.difference_update(ids)  # re-added points
+        if self._snap_id is not None:
+            # Dirty tracking feeds DELTA saves only; before the first
+            # base snapshot exists every save is a full rewrite, so
+            # skip building a giant id set during bulk ingest (10M
+            # fresh rows = a ~10M-entry str set for nothing).
+            self._snap_dirty.update(ids)
+            self._snap_deleted.difference_update(ids)  # re-added points
         return len(ids)
 
     def upsert_points(
@@ -525,9 +530,10 @@ class Gallery:
         for r in np.nonzero(drop)[0]:
             r = int(r)
             pid = self._ids[r]
-            self._snap_deleted.add(pid)
-            self._snap_dirty.discard(pid)
-            self._snap_dead_rows.add(r)
+            if self._snap_id is not None:  # delta tracking (see upsert)
+                self._snap_deleted.add(pid)
+                self._snap_dirty.discard(pid)
+                self._snap_dead_rows.add(r)
             if self._id_to_row.get(pid) == r:
                 del self._id_to_row[pid]
             self._payloads.clear_path(r)
