@@ -155,7 +155,8 @@ def cmd_store(args) -> int:
     if args.action == "rename" and not args.new_name:
         print("error: 'store rename' requires --new-name", file=sys.stderr)
         return 2
-    if args.action in ("rename", "delete", "count") and args.name not in store:
+    if (args.action in ("rename", "delete", "count", "maintain")
+            and args.name and args.name not in store):
         print(f"error: no such collection: {args.name!r}", file=sys.stderr)
         return 1
     if args.action == "list":

@@ -123,6 +123,20 @@ class Gallery:
         # paths are unchanged (NumPy semantics are identical).
         self._vectors_path = vectors_path
         if vectors_path:
+            import os as _os
+
+            if _os.path.exists(vectors_path) and \
+                    _os.path.getsize(vectors_path) > 0:
+                # A fresh Gallery is an EMPTY collection; silently
+                # zero-truncating 20 GB of existing rows here would be
+                # a data-loss footgun. Reload on-disk data through the
+                # snapshot loader (persist.load_store / load_gallery),
+                # which adopts the vector block in place.
+                raise FileExistsError(
+                    f"vectors_path {vectors_path!r} already exists and "
+                    "is non-empty; constructing a Gallery would "
+                    "truncate it. Load snapshots via gallery.persist, "
+                    "or remove the file to start an empty collection.")
             self._vectors = np.memmap(vectors_path, dtype=np.float32,
                                       mode="w+", shape=(capacity, dim))
         else:
@@ -416,23 +430,30 @@ class Gallery:
             pls = [pls[i] for i in order]
         old_len = len(self._ids)
         rows = np.empty(len(ids), dtype=np.int64)
+        new_pids: list[str] = []
         for i, pid in enumerate(ids):
             row = self._id_to_row.get(pid)
             if row is None:
-                row = len(self._ids)
-                self._ids.append(pid)
-                self._id_to_row[pid] = row
+                # ids are unique within the batch (deduped above), so
+                # sequential provisional rows never collide.
+                row = old_len + len(new_pids)
+                new_pids.append(pid)
             rows[i] = row
-        # Grow only for genuinely NEW rows, after they are known. A
-        # snapshot-adopted gallery has zero headroom (restart adopts the
-        # vector block in place, persist._adopt_vectors), so the old
-        # unconditional _ensure_capacity(len(ids)) turned the delta
-        # replay's single-row OVERWRITE into a full geometric realloc —
-        # 2x-capacity alloc + whole-gallery copy, faulting the entire
-        # COW mmap in from disk (measured: 252 s of the 10M flagship's
-        # "mmap restart", 8.5 s at 1M; with this ordering the restart is
-        # back to the format-3 milliseconds).
-        self._ensure_capacity(0)
+        # Grow only for genuinely NEW rows, BEFORE any state mutation:
+        # a failed grow (ENOSPC on the memmap truncate, MemoryError on
+        # the 2x realloc) must leave no phantom ids without backing
+        # rows. A snapshot-adopted gallery has zero headroom (restart
+        # adopts the vector block in place, persist._adopt_vectors), so
+        # an unconditional _ensure_capacity(len(ids)) would turn the
+        # delta replay's single-row OVERWRITE into a full geometric
+        # realloc — 2x-capacity alloc + whole-gallery copy, faulting
+        # the entire COW mmap in from disk (measured: 252 s of the 10M
+        # flagship's "mmap restart", 8.5 s at 1M; growing only for new
+        # rows keeps the restart at format-3 milliseconds).
+        self._ensure_capacity(len(new_pids))
+        for j, pid in enumerate(new_pids):
+            self._ids.append(pid)
+            self._id_to_row[pid] = old_len + j
         if (rows[0] == old_len and rows[-1] == old_len + len(rows) - 1
                 and len(self._ids) == old_len + len(rows)):
             # Pure append (the bulk-ingest hot path): slice assignment
@@ -523,12 +544,12 @@ class Gallery:
         drop &= self._alive[:n]
         if not drop.any():
             return 0
-        removed = int(drop.sum())
+        dropped = [int(r) for r in np.nonzero(drop)[0]]
+        removed = len(dropped)
         self._alive[:n][drop] = False
         self._n_dead += removed
         back = self._resolved_back
-        for r in np.nonzero(drop)[0]:
-            r = int(r)
+        for r in dropped:
             pid = self._ids[r]
             if self._snap_id is not None:  # delta tracking (see upsert)
                 self._snap_deleted.add(pid)
@@ -545,11 +566,9 @@ class Gallery:
         self._cap_mask_cache.clear()
         self._shard_mask_cache.clear()
         if self._cap_view is not None:
-            self._cap_pending.append(
-                ("mask", [int(r) for r in np.nonzero(drop)[0]]))
+            self._cap_pending.append(("mask", dropped))
         if self._shard_view is not None:
-            self._shard_pending.append(
-                ("mask", [int(r) for r in np.nonzero(drop)[0]]))
+            self._shard_pending.append(("mask", dropped))
         self._wseq += 1
         if (self._n_dead >= self._COMPACT_DEAD_MIN
                 and self._n_dead >= self._COMPACT_DEAD_FRACTION * n):
@@ -1029,6 +1048,14 @@ class Gallery:
             self._shard_view = None
             self._shard_pending.clear()
             self._shard_mask_cache.clear()
+            # Auto-routing now targets the sharded tier, so a live
+            # single-device capacity view would never be consulted again
+            # — yet every upsert/delete would keep appending to its
+            # pending-op log forever. Drop it; an explicit
+            # method="capacity" search rebuilds it on demand.
+            self._cap_view = None
+            self._cap_pending.clear()
+            self._cap_mask_cache.clear()
 
     def detach_mesh(self) -> None:
         """Drop the mesh + sharded view; searches fall back to the
@@ -1102,6 +1129,30 @@ class Gallery:
         self._shard_mask_cache[key] = mask
         return mask
 
+    def _rows_to_records(self, scores, idx, k_eff: int,
+                         with_vectors: bool) -> list[list[Record]]:
+        """Translate device top-k output (scores [Q, K], row indices
+        [Q, K]) into per-query Record hit lists. A NEG_INF sentinel
+        score ends a query's hits (fewer matches than k). Shared by the
+        exact/quantised, capacity, and sharded tiers — the scores/idx
+        SOURCE differs per tier, the translation must not."""
+        results: list[list[Record]] = []
+        for qi in range(scores.shape[0]):
+            hits = []
+            for j in range(min(k_eff, scores.shape[1])):
+                if scores[qi, j] <= float(search_lib.NEG_INF) / 2:
+                    break
+                row = int(idx[qi, j])
+                hits.append(Record(
+                    id=self._id_at(row),
+                    payload=self._payloads.get_row(row),
+                    vector=self._vectors[row].copy()
+                    if with_vectors else None,
+                    score=float(scores[qi, j]),
+                ))
+            results.append(hits)
+        return results
+
     def _sharded_search(self, queries: np.ndarray, k: int,
                         flt: Filter | None, with_vectors: bool,
                         exact: bool, tier: str | None
@@ -1134,22 +1185,7 @@ class Gallery:
         scores, idx = view.search(
             queries, k=k_eff, exact=exact, method=tier,
             extra_mask=self._shard_filter_mask(flt))
-        results: list[list[Record]] = []
-        for qi in range(queries.shape[0]):
-            hits = []
-            for j in range(min(k_eff, scores.shape[1])):
-                if scores[qi, j] <= float(search_lib.NEG_INF) / 2:
-                    break
-                row = int(idx[qi, j])
-                hits.append(Record(
-                    id=self._id_at(row),
-                    payload=self._payloads.get_row(row),
-                    vector=self._vectors[row].copy()
-                    if with_vectors else None,
-                    score=float(scores[qi, j]),
-                ))
-            results.append(hits)
-        return results
+        return self._rows_to_records(scores, idx, k_eff, with_vectors)
 
     def _cap_filter_mask(self, flt: Filter | None):
         """Per-filter device mask at the capacity view's padding (cached
@@ -1179,22 +1215,7 @@ class Gallery:
         k_eff = min(k, len(self))
         scores, idx = view.search(queries, k=k_eff,
                                   extra_mask=self._cap_filter_mask(flt))
-        results: list[list[Record]] = []
-        for qi in range(queries.shape[0]):
-            hits = []
-            for j in range(k_eff):
-                if scores[qi, j] <= float(search_lib.NEG_INF) / 2:
-                    break
-                row = int(idx[qi, j])
-                hits.append(Record(
-                    id=self._id_at(row),
-                    payload=self._payloads.get_row(row),
-                    vector=self._vectors[row].copy()
-                    if with_vectors else None,
-                    score=float(scores[qi, j]),
-                ))
-            results.append(hits)
-        return results
+        return self._rows_to_records(scores, idx, k_eff, with_vectors)
 
     def search(
         self,
@@ -1252,12 +1273,14 @@ class Gallery:
                 method = ("int8" if n >= self.INT8_SCAN_MIN_ROWS
                           and platform.is_tpu() else "bf16")
         shard_tier: str | None = None
-        if method.startswith("sharded"):
+        if method == "sharded" or method.startswith("sharded_"):
             # "sharded" (tier from ``exact``/scale) or an explicit
             # "sharded_exact"/"sharded_bf16"/"sharded_int8"/
-            # "sharded_int4" sub-tier.
+            # "sharded_int4" sub-tier. A malformed "shardedfoo" falls
+            # through to the unknown-method ValueError below (the HTTP
+            # API forwards client method strings verbatim).
             if method != "sharded":
-                shard_tier = method.split("_", 1)[1]
+                shard_tier = method[len("sharded_"):]
                 if shard_tier not in ("exact", "bf16", "int8", "int4"):
                     raise ValueError(f"unknown sharded tier {method!r}")
             method = "sharded"
@@ -1357,24 +1380,7 @@ class Gallery:
         else:
             scores = np.asarray(scores)
             idx = np.asarray(idx)
-        results: list[list[Record]] = []
-        for qi in range(queries.shape[0]):
-            hits = []
-            for j in range(k_eff):
-                if scores[qi, j] <= float(search_lib.NEG_INF) / 2:
-                    break
-                row = int(idx[qi, j])
-                hits.append(
-                    Record(
-                        id=self._id_at(row),
-                        payload=self._payloads.get_row(row),
-                        vector=self._vectors[row].copy()
-                        if with_vectors else None,
-                        score=float(scores[qi, j]),
-                    )
-                )
-            results.append(hits)
-        return results
+        return self._rows_to_records(scores, idx, k_eff, with_vectors)
 
     # ------------------------------------------------------------ export
     def to_arrays(self) -> dict[str, Any]:

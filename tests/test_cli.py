@@ -135,3 +135,18 @@ def test_store_maintain_cli(tmp_path, rng):
                  "--force"]) == 0
     g2 = persist.load_store(tmp_path).get("m")
     assert len(g2) == 35 and g2._n_dead == 0 and g2._nrows == 35
+
+
+def test_store_maintain_missing_name_clean_error(tmp_path, capsys):
+    """`store maintain --name <missing>` prints the same clean
+    no-such-collection error as rename/delete/count — not a KeyError."""
+    from retrieval_based_object_detection_tpu.cli.main import main
+    from retrieval_based_object_detection_tpu.gallery import persist
+    from retrieval_based_object_detection_tpu.gallery.store import (
+        VectorStore,
+    )
+
+    persist.save_store(VectorStore(), tmp_path)
+    assert main(["store", "maintain", "--store", str(tmp_path),
+                 "--name", "typo"]) == 1
+    assert "no such collection" in capsys.readouterr().err

@@ -466,3 +466,53 @@ def test_should_filter_algebra(rng):
             Filter(should=(("class_name", "b"),))
     with _pytest.raises(KeyError):
         Filter(should=(("nope", 1),))
+
+
+def test_malformed_sharded_method_gets_clean_error(rng):
+    """'shardedfoo' (no underscore) must hit the unknown-method
+    ValueError, not an IndexError from the sub-tier split — the HTTP
+    API forwards client method strings verbatim."""
+    g = Gallery("um2", dim=DIM)
+    fill(g, 3, rng=rng)
+    with pytest.raises(ValueError, match="unknown method"):
+        g.search(np.zeros(DIM, np.float32), method="shardedfoo")
+    with pytest.raises(ValueError, match="unknown sharded tier"):
+        g.search(np.zeros(DIM, np.float32), method="sharded_int16")
+
+
+def test_failed_capacity_grow_leaves_no_phantom_ids(rng, monkeypatch):
+    """A grow failure (ENOSPC/MemoryError) mid-upsert must not leave
+    ids in the map without backing rows: capacity grows BEFORE any
+    id-state mutation."""
+    g = Gallery("grow", dim=DIM, capacity=4)
+    fill(g, 4, rng=rng)
+
+    def boom(extra):
+        if extra > 0:
+            raise MemoryError("simulated grow failure")
+
+    monkeypatch.setattr(g, "_ensure_capacity", boom)
+    with pytest.raises(MemoryError):
+        g.upsert(["late"], rng.normal(size=(1, DIM)).astype(np.float32),
+                 [make_payload()])
+    assert len(g) == 4
+    assert g.retrieve(["late"]) == []  # phantom id must not resolve
+    # Every read path still consistent: search over the intact rows.
+    hits = g.search(np.zeros(DIM, np.float32), k=4)
+    assert len(hits[0]) == 4
+    # Overwrites of EXISTING rows never need a grow and must still work.
+    ids, _ = fill(g, 4, rng=rng)
+    assert len(g) == 4
+
+
+def test_vectors_path_refuses_to_truncate_existing_file(tmp_path):
+    p = tmp_path / "vecs.f32"
+    p.write_bytes(b"\x01" * 64)
+    with pytest.raises(FileExistsError, match="truncate"):
+        Gallery("vp", dim=DIM, vectors_path=str(p))
+    assert p.read_bytes() == b"\x01" * 64  # untouched
+    # An absent (or empty) file is fine.
+    g = Gallery("vp2", dim=DIM, capacity=4,
+                vectors_path=str(tmp_path / "fresh.f32"))
+    fill(g, 3)
+    assert len(g) == 3

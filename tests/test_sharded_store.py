@@ -243,3 +243,31 @@ def test_capacity_scale_exact_raises_not_degrades(rng, monkeypatch):
     got = [h.id for h in g.search(vecs[3], k=5,
                                   method="sharded_int4")[0]]
     assert got[0] == "id3"
+
+
+def test_attach_mesh_drops_stale_capacity_view(rng):
+    """attach_mesh must drop a live capacity view: auto-routing then
+    targets the sharded tier, so the cap view would never be consulted
+    again while every upsert/delete kept growing its pending-op log."""
+    g, ids, vecs = _fill(rng)
+    q = rng.normal(size=(2, DIM)).astype(np.float32)
+    want = g.search(q, k=5)
+    g.search(q, k=5, exact=False, method="capacity")  # builds _cap_view
+    assert g._cap_view is not None
+    g.attach_mesh(gallery_mesh(8))
+    assert g._cap_view is None and not g._cap_pending
+    # Writes with the mesh attached must not accrue cap-pending ops.
+    nids, nvecs, npls = _mk(rng, 8, start=1000)
+    g.upsert(nids, nvecs, npls)
+    g.delete(ids=[ids[0]])
+    assert not g._cap_pending
+    # The sharded route serves the post-write state correctly.
+    got = g.search(q, k=5)
+    for w_row, g_row in zip(want, got):
+        assert [h.id for h in w_row if h.id != ids[0]] \
+            == [h.id for h in g_row if h.id not in set(nids)][
+                : len([h for h in w_row if h.id != ids[0]])]
+    # An explicit capacity search still works on demand (rebuilds).
+    again = g.search(q, k=5, exact=False, method="capacity")
+    assert g._cap_view is not None
+    assert [h.id for h in again[0]]
