@@ -190,7 +190,12 @@ def snapshot_read(path: str | Path) -> tuple[np.ndarray, bytes]:
         vectors.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         rows.value, dim.value,
         blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), pb.value)
-    if rc != 0:
+    if rc == 4:
+        # Short read: the file is shorter than its header promises — a
+        # torn write. The BYTES are bad; persist._apply_deltas prunes
+        # such deltas. Must match the NumPy fallback's classification.
+        raise SnapshotFormatError(f"truncated snapshot body: {path}")
+    if rc != 0:  # rc=1 open failed, rc=2 seek failed, rc=3 read errno
         raise OSError(f"snapshot_read failed rc={rc}: {path}")
     return vectors, blob.tobytes()
 
@@ -220,6 +225,11 @@ def _snapshot_read_py(path):
         if magic != _MAGIC or version != _VERSION:
             raise SnapshotFormatError(f"bad snapshot header: {path}")
         blob = f.read(pb)
-        vectors = np.frombuffer(f.read(rows * dim * 4), np.float32
+        vec_bytes = f.read(rows * dim * 4)
+        if len(blob) < pb or len(vec_bytes) < rows * dim * 4:
+            # Torn write: bad BYTES (prune), not a transient IO error —
+            # same taxonomy as the native path's rc=4.
+            raise SnapshotFormatError(f"truncated snapshot body: {path}")
+        vectors = np.frombuffer(vec_bytes, np.float32
                                 ).reshape(rows, dim).copy()
     return vectors, blob

@@ -39,20 +39,24 @@ static bool write_all(int fd, const void* buf, size_t n) {
   return true;
 }
 
-static bool read_all(int fd, void* buf, size_t n) {
+// 0 = ok, 1 = IO error (errno), 2 = short read (truncated file).
+// The caller surfaces the distinction: truncation means the BYTES are
+// bad (a torn write — prune/rewrite), an errno read failure may be
+// transient (EIO — retry later, never unlink).
+static int read_all(int fd, void* buf, size_t n) {
   char* p = (char*)buf;
   while (n > 0) {
     size_t chunk = n > (size_t)(64 << 20) ? (size_t)(64 << 20) : n;
     ssize_t r = ::read(fd, p, chunk);
     if (r < 0) {
       if (errno == EINTR) continue;
-      return false;
+      return 1;
     }
-    if (r == 0) return false;  // truncated file
+    if (r == 0) return 2;  // truncated file
     p += r;
     n -= (size_t)r;
   }
-  return true;
+  return 0;
 }
 
 extern "C" {
@@ -160,14 +164,18 @@ int snapshot_read(const char* path, float* vectors, int64_t rows,
     ::close(fd);
     return 2;
   }
-  bool ok = true;
+  int st = 0;
   if (payload_bytes > 0) {
-    ok = read_all(fd, payload_blob, (size_t)payload_bytes);
+    st = read_all(fd, payload_blob, (size_t)payload_bytes);
   }
   size_t nf = (size_t)rows * (size_t)dim;
-  if (ok && nf > 0) ok = read_all(fd, vectors, nf * sizeof(float));
+  if (st == 0 && nf > 0) st = read_all(fd, vectors, nf * sizeof(float));
   ::close(fd);
-  return ok ? 0 : 3;
+  // 3 = IO error (possibly transient), 4 = truncated body (torn write:
+  // the bytes themselves are bad).
+  if (st == 1) return 3;
+  if (st == 2) return 4;
+  return 0;
 }
 
 }  // extern "C"

@@ -205,8 +205,13 @@ def crop_resize_batch(
 def expand_box_with_margin(
     box_xyxy, img_w: int, img_h: int, margin_ratio: float = 0.2
 ):
-    """The 21_crop_image.py:89-95 margin rule: grow each side by
-    margin_ratio × box size, clamped to image bounds. Works on [..., 4]."""
+    """Grow each side by margin_ratio × box size, clamped to image
+    bounds (the 21_crop_image.py:89-95 rule SHAPE). Works on [..., 4].
+    For float detector boxes this is exact; for YOLO labels the
+    byte-parity path is pipelines.crop.yolo_crop_bounds, whose margins
+    come from the float pixel dims rather than this function's corner
+    differences (one-pixel divergence when the corners are
+    pre-truncated ints)."""
     import numpy as np
 
     box = np.asarray(box_xyxy, np.float32)

@@ -20,7 +20,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _medoid_kernel(rows_ref, cols_ref, row_mask_ref, col_mask_ref, out_ref):
+def _medoid_kernel(rows_ref, cols_ref, col_mask_ref, out_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -70,8 +70,10 @@ def pairwise_distance_sums(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, D), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
+            # Column mask only: row exclusion happens host-side
+            # (sums[~mask] = inf in medoid_large) — a row-mask input
+            # here would be a dead [block, 1] VMEM DMA on every one of
+            # the n_blocks^2 grid steps.
             pl.BlockSpec((block, 1), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -82,15 +84,13 @@ def pairwise_distance_sums(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(vectors, vectors, mask_f, mask_f)
+    )(vectors, vectors, mask_f)
     return sums[:, 0]
 
 
 def medoid_large(vectors: np.ndarray, block: int = 1024) -> np.ndarray:
     """Medoid of a large member set via the blocked kernel (host wrapper:
     pads to the block size, interpret mode off-TPU)."""
-    import jax
-
     n, d = vectors.shape
     padded = max(block, -(-n // block) * block)
     buf = np.zeros((padded, d), np.float32)

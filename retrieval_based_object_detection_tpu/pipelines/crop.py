@@ -41,19 +41,35 @@ class CropResult:
     n_empty_label: int
 
 
-def parse_yolo_label(label_path: Path) -> list[tuple[int, float, float, float, float]]:
-    """YOLO lines: ``<cls> <xc> <yc> <w> <h>`` normalised; malformed lines
-    are skipped (21_crop_image.py:71-75)."""
-    out = []
+def parse_yolo_label_indexed(
+    label_path: Path,
+) -> tuple[list[tuple[int, tuple[int, float, float, float, float]]], int]:
+    """YOLO lines: ``<cls> <xc> <yc> <w> <h>`` normalised. Returns
+    ``([(line_idx, box), ...], n_nonblank_lines)`` where ``line_idx``
+    is the box's position among NON-BLANK lines — malformed lines are
+    skipped but keep their slot, because the reference numbers output
+    crops by raw line position (21_crop_image.py:66-77: blank lines are
+    filtered, then ``enumerate`` + ``continue``), and the
+    ``_cropped_obj<i>`` filename index feeds MD5 point ids downstream —
+    renumbering would break the byte-parity filename contract."""
     with open(label_path) as f:
-        for line in f:
-            parts = line.strip().split()
-            if len(parts) != 5:
-                continue
-            cls, xc, yc, w, h = parts
-            out.append((int(float(cls)), float(xc), float(yc),
-                        float(w), float(h)))
-    return out
+        lines = [ln.strip() for ln in f if ln.strip()]
+    out = []
+    for i, line in enumerate(lines):
+        parts = line.split()
+        if len(parts) != 5:
+            continue
+        cls, xc, yc, w, h = parts
+        out.append((i, (int(float(cls)), float(xc), float(yc),
+                        float(w), float(h))))
+    return out, len(lines)
+
+
+def parse_yolo_label(label_path: Path) -> list[tuple[int, float, float, float, float]]:
+    """Parsed boxes only (malformed lines skipped, 21_crop_image.py:71-75);
+    consumers that name outputs by line position must use
+    :func:`parse_yolo_label_indexed`."""
+    return [box for _, box in parse_yolo_label_indexed(label_path)[0]]
 
 
 def yolo_to_xyxy(box, img_w: int, img_h: int) -> tuple[int, int, int, int]:
@@ -62,6 +78,24 @@ def yolo_to_xyxy(box, img_w: int, img_h: int) -> tuple[int, int, int, int]:
     xc, yc, bw, bh = xc * img_w, yc * img_h, bw * img_w, bh * img_h
     return (int(xc - bw / 2), int(yc - bh / 2),
             int(xc + bw / 2), int(yc + bh / 2))
+
+
+def yolo_crop_bounds(box, img_w: int, img_h: int,
+                     margin_ratio: float) -> tuple[int, int, int, int]:
+    """Margin-expanded crop bounds for one YOLO box — the byte-parity
+    crop rule (21_crop_image.py:78-95): margins come from the FLOAT
+    pixel box dims (``int(bbox_w * ratio)``), NOT from the difference of
+    the already-truncated corners, which is off by one pixel whenever
+    truncation shrinks the width across the ``ratio·w`` integer
+    boundary (e.g. w=14.9 → corners span 15 → margin 3 vs the
+    reference's int(2.98)=2)."""
+    _, xc, yc, bw, bh = box
+    xc, yc, bw, bh = xc * img_w, yc * img_h, bw * img_w, bh * img_h
+    x1, y1 = int(xc - bw / 2), int(yc - bh / 2)
+    x2, y2 = int(xc + bw / 2), int(yc + bh / 2)
+    mx, my = int(bw * margin_ratio), int(bh * margin_ratio)
+    return (max(x1 - mx, 0), max(y1 - my, 0),
+            min(x2 + mx, img_w), min(y2 + my, img_h))
 
 
 def crop_image_with_labels(
@@ -91,19 +125,21 @@ def run_crop(cfg: CropConfig) -> CropResult:
             if not label_path.exists():
                 n_nolabel += 1
                 continue
-            labels = parse_yolo_label(label_path)
-            if not labels:
+            labels, n_lines = parse_yolo_label_indexed(label_path)
+            if n_lines == 0:
+                # Empty == no non-blank lines (21:66-71); a file whose
+                # lines are all malformed writes nothing but is not
+                # counted as "no objects".
                 n_empty += 1
                 continue
             with Image.open(img_path) as im:
                 arr = np.asarray(im.convert("RGB"))
-            boxes = [yolo_to_xyxy(b, arr.shape[1], arr.shape[0])
-                     for b in labels]
+            h, w = arr.shape[:2]
             ext = img_path.suffix.lower()
-            for i, crop in enumerate(
-                crop_image_with_labels(arr, boxes, cfg.margin_ratio)
-            ):
-                Image.fromarray(crop).save(
+            for i, box in labels:
+                x1, y1, x2, y2 = yolo_crop_bounds(box, w, h,
+                                                  cfg.margin_ratio)
+                Image.fromarray(arr[y1:y2, x1:x2]).save(
                     dst_dir / f"{img_path.stem}_cropped_obj{i}{ext}")
                 n_obj += 1
     return CropResult(n_objects=n_obj, n_no_label=n_nolabel,

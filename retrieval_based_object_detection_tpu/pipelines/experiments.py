@@ -161,10 +161,12 @@ def run_experiments(
             f"{gallery.name!r} — the embed and experiment runs must "
             f"target the same collection and tree")
 
+    # One stack for every case: the test matrix never changes across
+    # the case loop (and _cosine_matrix renormalises it per call).
+    tests = np.stack(test_vecs) if test_vecs else None
     for case in cfg.cases:
-        if not test_vecs:
+        if tests is None:
             continue
-        tests = np.stack(test_vecs)
 
         # Delegate matrices per dtype for this case, over ALL classes.
         for_case: dict[str, tuple[np.ndarray, list[str], dict[str, int]]] = {}

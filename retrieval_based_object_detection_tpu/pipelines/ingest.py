@@ -80,7 +80,11 @@ def convert_one(src: Path, dst: Path, quality: int = 95) -> bool:
         with Image.open(src) as im:
             im.convert("RGB").save(dst, "JPEG", quality=quality)
         return True
-    except Exception:
+    except Exception as e:
+        # Per-item failures are logged and skipped (01:147-152) — a
+        # bare counter leaves the operator unable to tell WHICH of
+        # thousands of inputs failed, or why.
+        print(f"[ingest] FAILED {src}: {type(e).__name__}: {e}")
         return False
 
 

@@ -137,6 +137,16 @@ class SegmentWebApp:
 
     def save(self, mask_idx: int) -> dict:
         with self.lock:
+            # Validate UNDER the lock: a concurrent /api/next can clear
+            # the candidates between the handler's precheck and this
+            # call (double-click, second tab) — the stale save must be
+            # a clean client error, not an AssertionError escaping the
+            # handler (same race class review_web's quarantine fixed).
+            if self._candidates is None:
+                return {"error": "click first"}
+            if not 0 <= mask_idx < self._candidates.shape[0]:
+                return {"error": f"mask index {mask_idx} out of range "
+                                 f"[0, {self._candidates.shape[0]})"}
             out = self.session.save(mask_idx)
             return {"saved": str(out)}
 
@@ -229,19 +239,15 @@ def make_handler(app: SegmentWebApp):
                     return
                 self._json(app.click(x, y))
             elif self.path == "/api/save":
-                if app._candidates is None:
-                    self._json({"error": "click first"}, 400)
-                    return
                 try:
                     mask_idx = int(body.get("mask", 0))
                 except (TypeError, ValueError):
                     self._json({"error": "mask must be an integer"}, 400)
                     return
-                if not 0 <= mask_idx < len(app._candidates):
-                    self._json({"error": f"mask index {mask_idx} out of "
-                                f"range [0, {len(app._candidates)})"}, 400)
-                    return
-                self._json(app.save(mask_idx))
+                # Candidate-state checks live in app.save, under the
+                # app lock — an unlocked precheck here races /api/next.
+                out = app.save(mask_idx)
+                self._json(out, 400 if "error" in out else 200)
             elif self.path == "/api/next":
                 self._json(app.next())
             else:

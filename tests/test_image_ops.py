@@ -161,3 +161,37 @@ def test_augment_pipeline(tmp_path, rng):
     res2 = A.run_augment(cfg)
     rot2 = np.asarray(Image.open(out_dir / "seg_rot30.png"))
     np.testing.assert_array_equal(rot, rot2)
+
+
+def test_crop_filename_index_skips_malformed_line_slot(tmp_path, rng):
+    """A malformed label line keeps its slot in the output numbering
+    (reference enumerates raw non-blank lines and `continue`s), so the
+    files are obj0 and obj2 — never renumbered to obj0/obj1. Downstream
+    point ids are MD5-of-path; renumbering would shift identities."""
+    src = tmp_path / "dataset_jpeg" / "original_images" / "cls1"
+    src.mkdir(parents=True)
+    arr = rng.integers(0, 255, (100, 200, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(src / "a.jpg")
+    (src / "a.txt").write_text(
+        "0 0.5 0.5 0.4 0.2\n0 0.1 0.1 0.1\n0 0.25 0.25 0.1 0.1\n")
+    # All-malformed file: writes nothing but is NOT an empty-label skip.
+    Image.fromarray(arr).save(src / "bad.jpg")
+    (src / "bad.txt").write_text("not a label\n")
+    res = C.run_crop(C.CropConfig(
+        src_root=str(tmp_path / "dataset_jpeg"),
+        dst_root=str(tmp_path / "dataset_cropped"),
+        img_type="original",
+    ))
+    assert res.n_objects == 2 and res.n_empty_label == 0
+    out_dir = tmp_path / "dataset_cropped" / "original_images" / "cls1"
+    names = sorted(p.name for p in out_dir.iterdir())
+    assert names == ["a_cropped_obj0.jpg", "a_cropped_obj2.jpg"]
+
+
+def test_yolo_crop_bounds_margin_uses_float_dims():
+    """margin = int(FLOAT bbox_w * ratio): w=14.9 px truncates to a
+    15-px corner span, whose 20% margin would round to 3; the reference
+    takes int(14.9*0.2)=2 from the float width."""
+    box = (0, 0.5, 0.5, 0.149, 0.149)  # 14.9 px in a 100x100 image
+    x1, y1, x2, y2 = C.yolo_crop_bounds(box, 100, 100, 0.2)
+    assert (x1, y1, x2, y2) == (42 - 2, 42 - 2, 57 + 2, 57 + 2)

@@ -90,3 +90,25 @@ def test_gallery_persist_uses_rbod(tmp_path, rng):
     save_store(store, tmp_path)
     assert not (tmp_path / "c1.rbod").exists()
     assert (tmp_path / "c2.rbod").exists()
+
+
+def test_snapshot_truncated_body_is_format_error(tmp_path, rng):
+    """A torn write (file shorter than its header promises) is bad
+    BYTES -> SnapshotFormatError on BOTH backends, so delta replay
+    prunes it; only errno failures (missing file, EIO) stay OSError.
+    The native path used to collapse truncation and EIO into one rc."""
+    p = tmp_path / "torn.rbod"
+    vecs = rng.normal(size=(8, 4)).astype(np.float32)
+    native.snapshot_write(p, vecs, b'{"k": 1}')
+    whole = p.read_bytes()
+    p.write_bytes(whole[: len(whole) - 7])  # tear the vector block
+    with pytest.raises(native.SnapshotFormatError):
+        native.snapshot_read(p)
+    with pytest.raises(native.SnapshotFormatError):
+        native._snapshot_read_py(p)
+    # Tear inside the payload blob too.
+    p.write_bytes(whole[: 32 + 4])
+    with pytest.raises(native.SnapshotFormatError):
+        native.snapshot_read(p)
+    with pytest.raises(native.SnapshotFormatError):
+        native._snapshot_read_py(p)

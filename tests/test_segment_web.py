@@ -124,3 +124,21 @@ def test_download_zip(server):
     with zipfile.ZipFile(io.BytesIO(body)) as zf:
         names = zf.namelist()
     assert names == ["m0_rmbg.png"]
+
+
+def test_save_after_next_is_clean_400(server):
+    """A save that lands after /api/next cleared the candidates (double
+    click, second tab) must be a clean 400, not an AssertionError
+    escaping the handler — the check must happen under the app lock."""
+    base, _ = server
+    _get(base + "/img/current")
+    status, _ = _post(base + "/api/click", {"x": 10, "y": 10})
+    assert status == 200
+    status, _ = _post(base + "/api/next", {})
+    assert status == 200
+    status, res = _post(base + "/api/save", {"mask": 0})
+    assert status == 400 and "click first" in res["error"]
+    # Out-of-range index is also validated app-side now.
+    _post(base + "/api/click", {"x": 10, "y": 10})
+    status, res = _post(base + "/api/save", {"mask": 99})
+    assert status == 400 and "out of range" in res["error"]
