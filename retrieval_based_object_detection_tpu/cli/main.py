@@ -29,11 +29,17 @@ import sys
 from pathlib import Path
 
 
+def _is_remote(path: str) -> bool:
+    """True when a --store argument addresses a running gallery server
+    (http(s) URL) rather than a local snapshot directory."""
+    return path.startswith(("http://", "https://"))
+
+
 def _store_load(path: str):
     """Local snapshot dir, or — when given an http(s) URL — a client for
     a running ``rbod gallery-server`` (the reference's Qdrant-container
     topology, docker-compose.yml)."""
-    if path.startswith(("http://", "https://")):
+    if _is_remote(path):
         from retrieval_based_object_detection_tpu.gallery.client import (
             RemoteVectorStore,
         )
@@ -45,7 +51,7 @@ def _store_load(path: str):
 
 
 def _store_save(store, path: str) -> None:
-    if path.startswith(("http://", "https://")):
+    if _is_remote(path):
         store.snapshot()  # the server owns persistence
         return
     from retrieval_based_object_detection_tpu.gallery.persist import save_store
@@ -85,10 +91,16 @@ def _load_clip(checkpoint: str | None,
         )
 
         cfg_file = Path(checkpoint) / "clip_config.json"
-        if cfg_file.exists():
-            config = M.CLIPVisionConfig(**json.loads(cfg_file.read_text()))
-        else:
-            config = M.VIT_B_32
+        if not cfg_file.exists():
+            # Fail actionably (like the SAM path): guessing ViT-B/32
+            # for a ViT-L/14 dir would surface as a cryptic orbax
+            # restore shape mismatch, or worse, a silently wrong model.
+            print(f"error: {checkpoint} has no clip_config.json — not a "
+                  f"directory produced by `rbod convert-weights`; re-run "
+                  f"the conversion (or pass the original torch file)",
+                  file=sys.stderr)
+            raise SystemExit(1)
+        config = M.CLIPVisionConfig(**json.loads(cfg_file.read_text()))
         params = load_params(Path(checkpoint) / "params",
                              like=M.init_params(config, seed=0))
     elif checkpoint:
@@ -125,7 +137,7 @@ def cmd_ingest(args) -> int:
 def cmd_store(args) -> int:
     # list/count need only snapshot headers on a local store — do not
     # deserialise gigabytes of vectors to print a name and a number.
-    local = not args.store.startswith(("http://", "https://"))
+    local = not _is_remote(args.store)
     if local and args.action == "list":
         from retrieval_based_object_detection_tpu.gallery.persist import (
             list_snapshots,
@@ -196,7 +208,7 @@ def cmd_store(args) -> int:
         # (docs/PRODUCTION.md "Compaction backpressure").
         names = ([args.name] if args.name
                  else [n for n, _ in store.list_collections()])
-        remote = args.store.startswith(("http://", "https://"))
+        remote = _is_remote(args.store)
         total = 0
         for n in names:
             g = store.get(n)
@@ -257,10 +269,16 @@ def cmd_label(args) -> int:
         print("[rbod] WARNING: --detector-checkpoint given but --detector "
               f"is {args.detector!r} — the checkpoint is IGNORED (pass "
               "--detector tinydet to use it)", file=sys.stderr)
+    # Letterbox at the detector's TRAINED resolution: a tinydet fit at
+    # --image-size 512 decodes (and clips) boxes in a 512px frame — a
+    # hardwired 256 canvas would run it at half scale with boxes
+    # spilling into the padding.
+    det_size = (detector.config.image_size if detector is not None
+                else LabelConfig.det_size)
     res = run_labeling(LabelConfig(
         root_dir=args.root, img_type=args.type, classes=args.classes,
         conf_threshold=args.conf, max_object_count=args.max_objects,
-        overwrite=args.overwrite), detector=detector)
+        det_size=det_size, overwrite=args.overwrite), detector=detector)
     print(f"total={res.total_images} labeled={res.labeled} "
           f"existing={res.skipped_existing} no_object={res.skipped_no_object} "
           f"failed={res.failed}")
@@ -971,7 +989,7 @@ def cmd_wizard(args) -> int:
         a full load_store would deserialise every vector twice — once
         for the menu, once for the confirmed command)."""
         try:
-            if store_path.startswith(("http://", "https://")):
+            if _is_remote(store_path):
                 cols = _store_load(store_path).list_collections()
             else:
                 from retrieval_based_object_detection_tpu.gallery.persist \

@@ -548,7 +548,13 @@ def save_store(store: VectorStore, root: str | Path,
         set(names) | {p.stem for p in root.glob("*.rbod")})
     tmp = root / ".manifest.json.tmp"
     with open(tmp, "w") as f:
-        json.dump({"collections": manifest_names}, f)
+        # Live counts per saved collection: a delta save leaves the
+        # base header's row count stale (the delta carries the churn),
+        # so header-only listings (list_snapshots, the wizard menu,
+        # `rbod store count`) read the count from here instead of
+        # replaying the chain.
+        json.dump({"collections": manifest_names,
+                   "counts": {n: len(store.get(n)) for n in names}}, f)
     os.replace(tmp, root / "manifest.json")
 
 
@@ -583,8 +589,21 @@ def list_snapshots(root: str | Path) -> list[tuple[str, int]]:
     out = []
     if not root.is_dir():
         return out
+    counts: dict = {}
+    try:
+        with open(root / "manifest.json") as f:
+            counts = json.load(f).get("counts") or {}
+    except Exception:
+        pass  # legacy/absent manifest: header rows only
     for p in sorted(root.glob("*.rbod")):
         try:
+            name = p.stem
+            if name in counts and _delta_paths(name, root):
+                # Deltas pending: the base header's row count predates
+                # them — the manifest carries the live count as of the
+                # last save_store.
+                out.append((name, int(counts[name])))
+                continue
             rows, _, _ = native.snapshot_header(p)
             out.append((p.stem, rows))
         except Exception:

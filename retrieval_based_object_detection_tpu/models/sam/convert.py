@@ -50,9 +50,15 @@ def infer_config(sd: Mapping[str, object]) -> SamConfig:
             win = (_np(sd[f"image_encoder.blocks.{i}.attn.rel_pos_h"]
                        ).shape[0] + 1) // 2
             break
+    # Head count from the rel-pos table's last dim (== head_dim), NOT
+    # embed_dim // 64: ViT-H is 1280-dim with 16 heads of head_dim 80
+    # (the //64 guess gives 20 heads and a 64-vs-80 contraction
+    # mismatch in the rel-pos einsum); vit_b (768→12) and vit_l
+    # (1024→16) agree with both derivations.
+    head_dim = _np(sd["image_encoder.blocks.0.attn.rel_pos_h"]).shape[-1]
     enc = EncoderConfig(
         img_size=grid * patch.shape[2], patch_size=patch.shape[2],
-        embed_dim=embed_dim, depth=depth, heads=embed_dim // 64,
+        embed_dim=embed_dim, depth=depth, heads=embed_dim // head_dim,
         out_chans=out_chans, window_size=win, global_attn_indexes=global_idx,
     )
     dec_dim = _np(sd["mask_decoder.iou_token.weight"]).shape[1]

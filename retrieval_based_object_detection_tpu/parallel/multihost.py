@@ -37,8 +37,14 @@ def initialize(coordinator_address: str | None = None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        pass  # already initialised
+    except RuntimeError as e:
+        # Swallow ONLY double-initialisation. Any other bootstrap
+        # failure (bad coordinator address, wrong process_id) must fail
+        # loudly: degrading to process_count()==1 would make
+        # host_shard_range assign this host the WHOLE gallery and the
+        # job would silently produce duplicated/overlapping shards.
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def process_info() -> tuple[int, int]:

@@ -72,6 +72,26 @@ def fit(
 
         ckptr = TrainCheckpointer(cfg.checkpoint_dir)
         latest = ckptr.latest_step()
+        # Pin the label mapping to the checkpoint: class_to_id derives
+        # from the CURRENT tree, so resuming after a class was renamed
+        # or swapped (same count, head shape matches) would silently
+        # train on remapped supervision. classes.json records the
+        # mapping at first save; a mismatch on resume fails loudly.
+        import json as _json
+        from pathlib import Path as _Path
+
+        classes_file = _Path(cfg.checkpoint_dir) / "classes.json"
+        if latest is not None and classes_file.exists():
+            saved = _json.loads(classes_file.read_text())
+            if saved != classes:
+                raise ValueError(
+                    f"checkpoint {cfg.checkpoint_dir} was trained on "
+                    f"classes {saved} but the tree now has {classes}; "
+                    "label ids would be silently remapped — train into "
+                    "a fresh --checkpoint-dir (or restore the tree)")
+        if not classes_file.exists():
+            classes_file.parent.mkdir(parents=True, exist_ok=True)
+            classes_file.write_text(_json.dumps(classes))
         if latest is not None:
             restored = ckptr.restore(
                 {"params": state_params, "opt_state": opt_state})

@@ -68,3 +68,38 @@ def test_finetune_then_embed(labeled_project, capsys):
     assert main(["embed", "--root", "dataset_jpeg", "--type", "original",
                  "--store", "gs", "--collection", "m",
                  "--clip-checkpoint", "ft_ckpt", "--batch-size", "4"]) == 0
+
+
+def test_resume_rejects_changed_class_set(labeled_project, rng):
+    """Resuming into a checkpoint dir after a class was renamed (same
+    count — the head shape would still match) must fail loudly: label
+    ids would silently remap otherwise."""
+    import dataclasses
+    import json
+    import shutil
+
+    from retrieval_based_object_detection_tpu.models.clip.model import (
+        CLIPVisionConfig,
+        init_params,
+    )
+    from retrieval_based_object_detection_tpu.parallel.mesh import make_mesh
+    from retrieval_based_object_detection_tpu.train.loop import (
+        FitConfig,
+        fit,
+    )
+
+    tiny = CLIPVisionConfig(image_size=32, patch_size=16, width=64,
+                            layers=2, heads=2, embed_dim=32)
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    cfg = FitConfig(root_dir="dataset_jpeg", epochs=1, batch_size=4,
+                    compute_dtype="float32",
+                    checkpoint_dir=str(labeled_project / "ck"))
+    fit(tiny, cfg, mesh, params=init_params(tiny, seed=0))
+    assert json.loads(
+        (labeled_project / "ck" / "classes.json").read_text()
+    ) == ["cola", "fanta"]
+    # Rename a class directory, keeping the count at 2.
+    root = labeled_project / "dataset_jpeg" / "original_images"
+    shutil.move(str(root / "fanta"), str(root / "cherry"))
+    with pytest.raises(ValueError, match="remapped"):
+        fit(tiny, cfg, mesh, params=init_params(tiny, seed=0))

@@ -516,3 +516,31 @@ def test_vectors_path_refuses_to_truncate_existing_file(tmp_path):
                 vectors_path=str(tmp_path / "fresh.f32"))
     fill(g, 3)
     assert len(g) == 3
+
+
+def test_list_snapshots_counts_include_pending_deltas(tmp_path, rng):
+    """A delta save leaves the base header's row count stale;
+    header-only listings (list_snapshots -> `rbod store list/count`,
+    the wizard menu) must report the live count from the manifest."""
+    from retrieval_based_object_detection_tpu.gallery.persist import (
+        list_snapshots,
+    )
+
+    store = VectorStore()
+    g = store.create_collection("dc", dim=DIM)
+    ids = [f"p{i}" for i in range(40)]
+    g.upsert(ids, rng.normal(size=(40, DIM)).astype(np.float32),
+             [make_payload() for _ in ids])
+    save_store(store, tmp_path)                       # base: 40 rows
+    assert dict(list_snapshots(tmp_path))["dc"] == 40
+    g.upsert(["extra1", "extra2"],
+             rng.normal(size=(2, DIM)).astype(np.float32),
+             [make_payload(), make_payload()])
+    g.delete(ids=[ids[0]])
+    save_store(store, tmp_path)                       # under-churn delta
+    import pathlib
+    assert list(pathlib.Path(tmp_path).glob("dc.rbod.d*")), \
+        "expected a delta save"
+    assert dict(list_snapshots(tmp_path))["dc"] == 41  # 40 + 2 - 1
+    # Parity with an actual load.
+    assert len(load_store(tmp_path).get("dc")) == 41

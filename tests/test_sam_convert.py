@@ -110,9 +110,11 @@ def test_convert_and_forward(rng):
     assert cfg.encoder.window_size == 2
     assert cfg.decoder.embed_dim == 16
     assert cfg.decoder.num_multimask == 3
-
-    # heads: embed//64 == 0 for tiny dims; patch config manually.
-    import dataclasses
+    # Encoder heads derive from the rel-pos table width (head_dim 16 on
+    # this tiny dict -> 32//16 = 2); embed//64 would give 0 here and 20
+    # (wrong) on ViT-H. Only the decoder heads need patching for tiny
+    # dims.
+    assert cfg.encoder.heads == 2
     cfg = SamConfigFix(cfg)
 
     params = SC.convert_state_dict(sd, cfg)
@@ -131,3 +133,25 @@ def SamConfigFix(cfg):
     enc = dataclasses.replace(cfg.encoder, heads=2)
     dec = dataclasses.replace(cfg.decoder, heads=2)
     return dataclasses.replace(cfg, encoder=enc, decoder=dec)
+
+
+def test_infer_config_vit_h_head_count(rng):
+    """ViT-H proportions: embed_dim not divisible into 64-wide heads
+    (official ViT-H is 1280 dim / 16 heads / head_dim 80). The head
+    count must come from the rel-pos table width; embed//64 would give
+    a contraction mismatch in the rel-pos einsum. Scaled stand-in:
+    embed 320 / head_dim 80 -> 4 heads (embed//64 would say 5)."""
+    sd = make_official_sd(rng)
+    d, grid = 320, 4
+    sd["image_encoder.patch_embed.proj.weight"] = rng.normal(
+        size=(d, 3, 16, 16))
+    sd["image_encoder.pos_embed"] = rng.normal(size=(1, grid, grid, d))
+    for i, size in enumerate((2, grid)):
+        p = f"image_encoder.blocks.{i}."
+        sd[p + "attn.rel_pos_h"] = rng.normal(size=(2 * size - 1, 80))
+        sd[p + "attn.rel_pos_w"] = rng.normal(size=(2 * size - 1, 80))
+    sd["image_encoder.neck.0.weight"] = rng.normal(size=(16, d, 1, 1))
+    cfg = SC.infer_config({k: np.asarray(v, np.float32)
+                           for k, v in sd.items()})
+    assert cfg.encoder.embed_dim == 320
+    assert cfg.encoder.heads == 4
