@@ -280,8 +280,9 @@ def evaluate(tmp_dir: str | None = None, epochs: int = 18,
     """Defaults are the headline configuration: trained top-1
     0.84-0.85 per delegate type vs 0.11-0.21 floor (n_aug sweep:
     2→0.72, 4→0.79, 6→0.85 — training-domain diversity is the binding
-    constraint, measured in DESIGN.md 'Round-3 ledger')."""
-    """→ {"trained": {dtype: top1}, "floor": {dtype: top1}, "train": m}."""
+    constraint, measured in DESIGN.md 'Round-3 ledger').
+
+    → {"trained": {dtype: top1}, "floor": {dtype: top1}, "train": m}."""
     import shutil
     import tempfile
 

@@ -181,8 +181,13 @@ class CapacitySearcher:
             raise ValueError("this view was built from raw vectors — "
                              "construct with ids= or from_gallery for "
                              "id translation")
-        return [[self.ids[int(i)] for i in row] for row in
-                np.atleast_2d(idx)]
+        # Rows past the id list (row-keyed appends never recorded an
+        # id; approx_max_k pads short results with arbitrary indices
+        # next to -inf sentinel scores) map to None — parity with
+        # ShardedGallerySearcher.ids_of.
+        n = len(self.ids)
+        return [[self.ids[int(i)] if 0 <= int(i) < n else None
+                 for i in row] for row in np.atleast_2d(idx)]
 
     # ------------------------------------------------------------ writes
     @property
@@ -248,12 +253,16 @@ class CapacitySearcher:
     def _set_mask_range(self, lo: int, hi: int, value: bool) -> None:
         self._host_mask[lo:hi] = value
         tile = self._tile
-        mask = self.dev_mask
         for ts in range((lo // tile) * tile, hi, tile):
-            mask = _patch_mask_tile(
-                mask, search_lib.staged(self._host_mask[ts: ts + tile]),
+            # Reassign INSIDE the loop: _patch_mask_tile donates its
+            # input, so holding the result in a local until after the
+            # loop leaves self.dev_mask pointing at a deleted buffer if
+            # a later iteration raises (same ADVICE-r3 class as
+            # upsert_rows — a partial write must leave a usable view).
+            self.dev_mask = _patch_mask_tile(
+                self.dev_mask,
+                search_lib.staged(self._host_mask[ts: ts + tile]),
                 jnp.int32(ts))
-        self.dev_mask = mask
 
     def _ensure_id_map(self) -> dict[str, int]:
         if self.ids is None:
@@ -267,41 +276,7 @@ class CapacitySearcher:
         """Id-keyed insert-or-replace (Gallery.upsert semantics at
         capacity scale). Scattered rows are grouped into contiguous runs
         so each run pays one incremental patch."""
-        vectors = np.asarray(vectors, np.float32)
-        if vectors.ndim == 1:
-            vectors = vectors[None]
-        if len(ids) != vectors.shape[0]:
-            raise ValueError("ids/vectors length mismatch")
-        id_map = self._ensure_id_map()
-        # Capacity pre-check BEFORE mutating the id map: a mid-write
-        # ValueError must not leave phantom ids mapped to unwritten rows
-        # (review finding: later appends would then collide on the same
-        # row and searches would report the wrong point id).
-        n_new = len({pid for pid in ids if pid not in id_map})
-        if self.n_rows + n_new > self._padded:
-            raise ValueError(
-                f"{n_new} new ids exceed capacity "
-                f"({self.capacity_left()} rows left of {self._padded}); "
-                "rebuild the view (or build with headroom=)")
-        rows = np.empty(len(ids), np.int64)
-        next_row = self.n_rows
-        for i, pid in enumerate(ids):
-            row = id_map.get(pid)
-            if row is None:  # new id -> contiguous append slot
-                row = next_row
-                id_map[pid] = row
-                self.ids.append(pid)
-                next_row += 1
-            rows[i] = row
-        order = np.argsort(rows, kind="stable")
-        rows_s, vecs_s = rows[order], vectors[order]
-        run_start = 0
-        for i in range(1, len(rows_s) + 1):
-            if i == len(rows_s) or rows_s[i] != rows_s[i - 1] + 1:
-                self.upsert_rows(int(rows_s[run_start]),
-                                 vecs_s[run_start:i])
-                run_start = i
-        return len(ids)
+        return id_keyed_upsert(self, ids, vectors, self._padded)
 
     def set_rows_invalid(self, rows) -> int:
         """Tombstone rows BY INDEX via the mask — the planes stay put.
@@ -314,12 +289,13 @@ class CapacitySearcher:
             self._host_mask[r] = False
         if live:
             tile = self._tile
-            mask = self.dev_mask
             for ts in sorted({(r // tile) * tile for r in live}):
-                mask = _patch_mask_tile(
-                    mask, search_lib.staged(self._host_mask[ts: ts + tile]),
+                # In-loop reassignment: see _set_mask_range (donation
+                # safety on partial failure).
+                self.dev_mask = _patch_mask_tile(
+                    self.dev_mask,
+                    search_lib.staged(self._host_mask[ts: ts + tile]),
                     jnp.int32(ts))
-            self.dev_mask = mask
         return len(live)
 
     def delete(self, ids) -> int:
@@ -353,7 +329,13 @@ class CapacitySearcher:
                 mask = jnp.logical_and(mask, extra_mask)
             else:
                 buf = np.zeros(self._padded, bool)
-                buf[: self.n_rows] = extra_mask[: self.n_rows]
+                # Clamp to the shorter of mask/view: a host mask built
+                # before an append is still valid for the rows it
+                # covers (appended rows default to excluded) — parity
+                # with the sharded twin's handling.
+                m = np.asarray(extra_mask, bool)
+                n = min(self.n_rows, m.shape[0])
+                buf[:n] = m[:n]
                 mask = jnp.logical_and(mask, jnp.asarray(buf))
         if platform.is_tpu():
             scores, idx = search_lib.int4_scan_topk(
@@ -366,3 +348,46 @@ class CapacitySearcher:
                 self.dev_bf16, mask, k=min(k, self.n_rows),
                 rescore=rescore)
         return np.asarray(scores), np.asarray(idx)
+
+
+def id_keyed_upsert(view, ids, vectors: np.ndarray,
+                    row_capacity: int) -> int:
+    """Shared id-keyed insert-or-replace for the writable device views
+    (``CapacitySearcher`` and ``ShardedGallerySearcher`` — one
+    implementation so their Gallery.upsert semantics cannot drift).
+    Scattered rows group into contiguous runs (one incremental patch
+    each); new ids append within ``row_capacity``. The capacity
+    PRE-CHECK runs before any id-map mutation so a mid-write overflow
+    leaves no phantom ids mapped to unwritten rows (ADVICE r3 class).
+    ``view`` provides: ``_ensure_id_map()``, ``n_rows``, ``ids``,
+    ``capacity_left()``, ``upsert_rows(start, vecs)``."""
+    vectors = np.asarray(vectors, np.float32)
+    if vectors.ndim == 1:
+        vectors = vectors[None]
+    if len(ids) != vectors.shape[0]:
+        raise ValueError("ids/vectors length mismatch")
+    id_map = view._ensure_id_map()
+    n_new = len({pid for pid in ids if pid not in id_map})
+    if view.n_rows + n_new > row_capacity:
+        raise ValueError(
+            f"{n_new} new ids exceed capacity "
+            f"({view.capacity_left()} rows left of {row_capacity}); "
+            "rebuild the view (or build with headroom=)")
+    rows = np.empty(len(ids), np.int64)
+    next_row = view.n_rows
+    for i, pid in enumerate(ids):
+        row = id_map.get(pid)
+        if row is None:  # new id -> contiguous append slot
+            row = next_row
+            id_map[pid] = row
+            view.ids.append(pid)
+            next_row += 1
+        rows[i] = row
+    order = np.argsort(rows, kind="stable")
+    rows_s, vecs_s = rows[order], vectors[order]
+    run_start = 0
+    for i in range(1, len(rows_s) + 1):
+        if i == len(rows_s) or rows_s[i] != rows_s[i - 1] + 1:
+            view.upsert_rows(int(rows_s[run_start]), vecs_s[run_start:i])
+            run_start = i
+    return len(ids)

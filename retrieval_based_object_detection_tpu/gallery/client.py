@@ -199,7 +199,7 @@ class GalleryClient:
                 return None
             return self._record(p)
         except GalleryServiceError as e:
-            if e.code != 404:
+            if e.status != 404:
                 raise
             # Pre-route server: exact-match scroll (no fallback).
             recs, _ = self.scroll(Filter(must={"img_path": img_path}),

@@ -168,7 +168,16 @@ class Filter:
 
     def __and__(self, other: "Filter") -> "Filter":
         merged = dict(self.must)
-        merged.update(other.must)
+        for k, v in other.must.items():
+            if k in merged and merged[k] != v:
+                # A conflicting equality conjunction matches NOTHING;
+                # letting the right side win would silently return the
+                # wrong rows. Same fail-loudly stance as the
+                # should-AND-should case below.
+                raise ValueError(
+                    f"contradictory must conditions on {k!r}: "
+                    f"{merged[k]!r} AND {v!r} match no rows")
+            merged[k] = v
         merged_not = self.must_not + tuple(
             kv for kv in other.must_not if kv not in self.must_not)
         if self.should and other.should:

@@ -227,8 +227,56 @@ class ShardedGallerySearcher:
         self.capacity = capacity
         self.ids = ids  # optional row -> point-id mapping (from_gallery)
         self._id_to_row: dict[str, int] | None = None
-        self.dev_vectors, self.dev_mask = build_sharded(
-            vectors, mask, mesh, headroom=headroom)
+        if capacity:
+            # Pod-scale capacity mode (the single-chip CapacitySearcher's
+            # sharded sibling): bf16 rescore mirror + int4 planes only,
+            # ~2.5 bytes/dim resident per chip. Built CHUNK-WISE like
+            # the single-chip twin: the old path materialised the full
+            # f32 sharded buffer, packed int4 off it, THEN cast bf16 —
+            # a ~6.5 bytes/dim/chip transient that OOMs the chip at
+            # exactly the row counts that auto-route here. Each
+            # replicated staged chunk patches the sharded buffers via
+            # donated DUS (GSPMD lowers a global-row DUS to the owning
+            # shards — the same mechanism _patch_write_tile relies on).
+            # Quantised tiers only; rescored hit scores carry bf16's
+            # ~1e-2 drift.
+            from retrieval_based_object_detection_tpu.gallery.capacity import (
+                _CHUNK,
+                _fill_chunk,
+            )
+
+            n_shards = mesh.shape[AXIS]
+            per = shard_rows(self.n_rows + max(0, headroom), n_shards)
+            total = per * n_shards
+            d = vectors.shape[1]
+            sh_v = NamedSharding(mesh, P(AXIS, None))
+            sh_1 = NamedSharding(mesh, P(AXIS))
+            bf16 = jax.jit(lambda: jnp.zeros((total, d), jnp.bfloat16),
+                           out_shardings=sh_v)()
+            packed = jax.jit(lambda: jnp.zeros((total, d // 2), jnp.int8),
+                             out_shardings=sh_v)()
+            scales = jax.jit(lambda: jnp.zeros(total, jnp.float32),
+                             out_shardings=sh_1)()
+            chunk = max(256, (min(_CHUNK, total) // 256) * 256)
+            staged = np.zeros((chunk, d), np.float32)
+            for start in range(0, total, chunk):
+                c = min(chunk, total - start)  # DUS clamps OOB starts
+                buf = staged[:c] if c == chunk else np.zeros((c, d),
+                                                             np.float32)
+                buf[:] = 0.0
+                hi = min(start + c, self.n_rows)
+                if hi > start:
+                    buf[: hi - start] = vectors[start:hi]
+                bf16, packed, scales = _fill_chunk(
+                    bf16, packed, scales, search_lib.staged(buf),
+                    jnp.int32(start))
+            self.dev_vectors = bf16
+            mbuf = np.zeros(total, bool)
+            mbuf[: mask.shape[0]] = mask
+            self.dev_mask = jax.device_put(mbuf, sh_1)
+        else:
+            self.dev_vectors, self.dev_mask = build_sharded(
+                vectors, mask, mesh, headroom=headroom)
         # Host shadow of the row mask (S*R bools): the write path patches
         # only the touched tiles from it — a full-tile `valid` overwrite
         # would revive tombstones / mark padded rows live on edge tiles,
@@ -237,16 +285,8 @@ class ShardedGallerySearcher:
         self._host_mask[: mask.shape[0]] = mask
         self._dev_int8: jax.Array | None = None  # int8 scan mirror
         # int4 tier: (packed [S*R, D/2] int8, scales [S*R] f32), sharded
-        self._dev_int4: tuple[jax.Array, jax.Array] | None = None
-        if capacity:
-            # Pod-scale capacity mode (the single-chip CapacitySearcher's
-            # sharded sibling): pack the int4 planes off the f32 rows,
-            # then keep only a bf16 rescore mirror per shard — ~2.5 vs
-            # 4.5 bytes/dim resident per chip. Quantised tiers only;
-            # rescored hit scores carry bf16's ~1e-2 drift.
-            self._build_int4()
-            self.dev_vectors = jax.jit(
-                lambda a: a.astype(jnp.bfloat16))(self.dev_vectors)
+        self._dev_int4: tuple[jax.Array, jax.Array] | None = (
+            (packed, scales) if capacity else None)
 
     def _build_int8(self) -> None:
         """Per-shard int8 mirror (lazy): quantised on-device from the
@@ -358,12 +398,14 @@ class ShardedGallerySearcher:
         scale to pod row counts)."""
         self._host_mask[lo:hi] = value
         tile = self._TILE
-        mask = self.dev_mask
         for ts in range((lo // tile) * tile, hi, tile):
-            mask = _dus_1d(
-                mask, search_lib.staged(self._host_mask[ts: ts + tile]),
+            # Reassign INSIDE the loop: _dus_1d donates its input, so a
+            # mid-loop failure must leave self.dev_mask on the live
+            # buffer, not a deleted one (ADVICE-r3 class).
+            self.dev_mask = _dus_1d(
+                self.dev_mask,
+                search_lib.staged(self._host_mask[ts: ts + tile]),
                 jnp.int32(ts))
-        self.dev_mask = mask
 
     def _ensure_id_map(self) -> dict[str, int]:
         if self.ids is None:
@@ -375,44 +417,14 @@ class ShardedGallerySearcher:
 
     def upsert(self, ids, vectors: np.ndarray) -> int:
         """Id-keyed insert-or-replace (Gallery.upsert semantics on the
-        sharded view — parity with ``CapacitySearcher.upsert``).
-        Scattered rows group into contiguous runs, one tile patch each;
-        new ids append within the build-time headroom."""
-        vectors = np.asarray(vectors, np.float32)
-        if vectors.ndim == 1:
-            vectors = vectors[None]
-        if len(ids) != vectors.shape[0]:
-            raise ValueError("ids/vectors length mismatch")
-        id_map = self._ensure_id_map()
-        # Capacity pre-check BEFORE mutating the id map (same review
-        # finding as the capacity view: phantom ids must not map to
-        # unwritten rows after a mid-write overflow).
-        n_new = len({pid for pid in ids if pid not in id_map})
-        if self.n_rows + n_new > self.dev_vectors.shape[0]:
-            raise ValueError(
-                f"{n_new} new ids exceed padded capacity "
-                f"({self.capacity_left()} rows left of "
-                f"{self.dev_vectors.shape[0]}); rebuild the view "
-                "(or build with headroom=)")
-        rows = np.empty(len(ids), np.int64)
-        next_row = self.n_rows
-        for i, pid in enumerate(ids):
-            row = id_map.get(pid)
-            if row is None:  # new id -> contiguous append slot
-                row = next_row
-                id_map[pid] = row
-                self.ids.append(pid)
-                next_row += 1
-            rows[i] = row
-        order = np.argsort(rows, kind="stable")
-        rows_s, vecs_s = rows[order], vectors[order]
-        run_start = 0
-        for i in range(1, len(rows_s) + 1):
-            if i == len(rows_s) or rows_s[i] != rows_s[i - 1] + 1:
-                self.upsert_rows(int(rows_s[run_start]),
-                                 vecs_s[run_start:i])
-                run_start = i
-        return len(ids)
+        sharded view — the ONE shared implementation with
+        ``CapacitySearcher.upsert``, capacity.id_keyed_upsert)."""
+        from retrieval_based_object_detection_tpu.gallery.capacity import (
+            id_keyed_upsert,
+        )
+
+        return id_keyed_upsert(self, ids, vectors,
+                               int(self.dev_vectors.shape[0]))
 
     def delete(self, ids) -> int:
         """Tombstone rows by id via the sharded mask."""
@@ -429,12 +441,13 @@ class ShardedGallerySearcher:
             self._host_mask[r] = False
         if live:
             tile = self._TILE
-            mask = self.dev_mask
             for ts in sorted({(r // tile) * tile for r in live}):
-                mask = _dus_1d(
-                    mask, search_lib.staged(self._host_mask[ts: ts + tile]),
+                # In-loop reassignment: see _set_mask_range (donation
+                # safety on partial failure).
+                self.dev_mask = _dus_1d(
+                    self.dev_mask,
+                    search_lib.staged(self._host_mask[ts: ts + tile]),
                     jnp.int32(ts))
-            self.dev_mask = mask
         return len(live)
 
     # Name parity with CapacitySearcher so the Gallery's pending-op

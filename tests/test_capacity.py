@@ -330,3 +330,36 @@ def test_build_immune_to_caller_buffer_reuse(rng):
     vn = want / np.linalg.norm(want, axis=1, keepdims=True)
     got = np.asarray(s.dev_bf16)[:n].astype(np.float32)
     np.testing.assert_allclose(got, vn, atol=1e-2)
+
+
+def test_ids_of_out_of_range_rows_map_to_none(rng):
+    """Rows past the id list (row-keyed appends, approx_max_k padding
+    next to -inf sentinels) map to None — parity with the sharded
+    twin's ids_of, which documents this as shared behaviour."""
+    g = Gallery("t", dim=DIM)
+    vecs = _vectors(rng, 20)
+    g.upsert([f"pt{i}" for i in range(20)], vecs,
+             [Payload(data_type="original_images", class_name="c",
+                      img_path=f"/{i}.png") for i in range(20)])
+    s = CapacitySearcher.from_gallery(g, chunk=256, headroom=256)
+    s.upsert_rows(20, _vectors(rng, 4))  # row-keyed append: no ids
+    out = s.ids_of(np.array([[0, 21, 5000]]))
+    assert out == [["pt0", None, None]]
+
+
+def test_extra_mask_shorter_than_view_after_append(rng):
+    """A host mask built BEFORE an append stays valid for the rows it
+    covers; appended rows default to excluded (sharded-twin parity)
+    instead of a broadcast ValueError."""
+    vecs = _vectors(rng, 30)
+    s = CapacitySearcher(vecs, np.ones(30, bool), chunk=256, headroom=256)
+    pre_mask = np.zeros(30, bool)
+    pre_mask[7] = True
+    extra = _vectors(rng, 4)
+    s.upsert_rows(30, extra)
+    scores, idx = s.search(vecs[7], k=3, extra_mask=pre_mask)
+    assert int(np.asarray(idx)[0, 0]) == 7
+    # Only one row passes the mask: the rest are -inf sentinels.
+    import math
+    assert float(np.asarray(scores)[0, 1]) < -1e30 or math.isinf(
+        float(np.asarray(scores)[0, 1]))

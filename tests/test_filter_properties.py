@@ -129,3 +129,20 @@ def test_wire_roundtrip_preserves_identity(flt):
     # and the decoded twin filters identically
     assert [r.id for r in _G.scroll_all(back)] == \
         [r.id for r in _G.scroll_all(flt)]
+
+
+def test_filter_and_contradictory_must_raises():
+    """f1 & f2 with conflicting equality on one key matches NOTHING —
+    silently letting the right side win returns wrong rows; fail loudly
+    like the should-AND-should case."""
+    import pytest
+
+    from retrieval_based_object_detection_tpu.gallery.schema import Filter
+
+    a = Filter(must={"class_name": "a"})
+    b = Filter(must={"class_name": "b"})
+    with pytest.raises(ValueError, match="contradictory"):
+        _ = a & b
+    # Identical values still compose fine.
+    c = a & Filter(must={"class_name": "a", "is_cropped": True})
+    assert c.must["class_name"] == "a" and c.must["is_cropped"] is True

@@ -244,3 +244,35 @@ def test_validation_400_is_not_retried_as_json(service, rng):
             g.upsert(["a", "b", "c"], vecs, pls)
     assert ei.value.status == 400
     assert calls["n"] == 1, "validation 400 must not be resent as JSON"
+
+
+def test_get_by_path_pre_route_404_falls_back_to_scroll(rng, monkeypatch):
+    """Against a server predating /points/by-path the 404 must trigger
+    the exact-match scroll fallback (the handler used to read e.code,
+    which GalleryServiceError never defines — AttributeError instead of
+    fallback); non-404 errors must re-raise as themselves."""
+    from retrieval_based_object_detection_tpu.gallery import client as C
+
+    gc = C.GalleryClient.__new__(C.GalleryClient)
+    gc.base = "http://x"
+    gc.name = "c"
+
+    def raise404(method, url, body=None, **kw):
+        raise C.GalleryServiceError(404, "not found")
+
+    monkeypatch.setattr(C, "_request", raise404)
+    sentinel = object()
+    monkeypatch.setattr(
+        gc, "scroll",
+        lambda flt, limit, with_vectors: ([sentinel], None))
+    assert gc.get_by_path("/a.png") is sentinel
+    monkeypatch.setattr(gc, "scroll",
+                        lambda flt, limit, with_vectors: ([], None))
+    assert gc.get_by_path("/a.png") is None
+
+    def raise500(method, url, body=None, **kw):
+        raise C.GalleryServiceError(500, "boom")
+
+    monkeypatch.setattr(C, "_request", raise500)
+    with pytest.raises(C.GalleryServiceError, match="500"):
+        gc.get_by_path("/a.png")
