@@ -79,6 +79,22 @@ def _parse_meta3(blob) -> tuple[dict, "callable"]:
     return hdr, get
 
 
+def _fsync_dir(root: Path) -> None:
+    """Persist a rename: the file's data blocks are fsynced by the
+    writer (native/_snapshot_write_py, or the manifest's explicit
+    fsync), but the DIRECTORY entry created by os.replace needs its own
+    fsync or power loss can leave the old/absent name. Best-effort —
+    some filesystems refuse O_RDONLY dir fsync."""
+    try:
+        fd = os.open(root, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    except OSError:
+        pass
+
+
 def _delta_paths(name: str, root: Path) -> list[tuple[int, Path]]:
     out = []
     for p in root.glob(f"{name}.rbod.d*"):
@@ -146,6 +162,7 @@ def save_gallery(gallery: Gallery, root: str | Path,
         tmp = root / f".{gallery.name}.rbod.d{seq}.tmp"
         native.snapshot_write(tmp, vecs, json.dumps(meta).encode())
         os.replace(tmp, root / f"{gallery.name}.rbod.d{seq}")
+        _fsync_dir(root)
         gallery._snap_seq = seq
         gallery._snap_dirty.clear()
         gallery._snap_deleted.clear()
@@ -181,6 +198,7 @@ def save_gallery(gallery: Gallery, root: str | Path,
     tmp = root / f".{gallery.name}.rbod.tmp"
     native.snapshot_write(tmp, gallery._vectors[:n], blob)
     os.replace(tmp, base)
+    _fsync_dir(root)
     for _, p in _delta_paths(gallery.name, root):
         p.unlink(missing_ok=True)
     gallery._snap_root = str(root)
@@ -555,7 +573,10 @@ def save_store(store: VectorStore, root: str | Path,
         # replaying the chain.
         json.dump({"collections": manifest_names,
                    "counts": {n: len(store.get(n)) for n in names}}, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, root / "manifest.json")
+    _fsync_dir(root)
 
 
 def load_store(root: str | Path,

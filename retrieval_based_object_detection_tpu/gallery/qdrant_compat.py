@@ -37,7 +37,12 @@ from http.server import BaseHTTPRequestHandler
 
 import numpy as np
 
-from retrieval_based_object_detection_tpu.gallery.schema import Filter
+from retrieval_based_object_detection_tpu.gallery.schema import (
+    FIELDS,
+    Filter,
+)
+
+_PAYLOAD_FIELDS = frozenset(FIELDS)
 
 _DIST_IN = {"cosine": "cosine", "euclid": "euclid", "dot": "dot",
             "manhattan": "manhattan"}
@@ -165,6 +170,11 @@ def make_qdrant_handler(svc):
                 # filter fields) is a client error, not a server fault.
                 return self._error(str(e), 400)
             except KeyError as e:
+                if "payload field" in str(e):
+                    # schema.Filter raises KeyError for unknown fields —
+                    # a malformed filter is a 400, not a missing
+                    # resource.
+                    return self._error(str(e), 400)
                 return self._error(f"not found: {e}", 404)
             except Exception as e:
                 return self._error(f"{type(e).__name__}: {e}", 500)
@@ -266,6 +276,19 @@ def make_qdrant_handler(svc):
             except (TypeError, ValueError) as e:
                 raise _Bad(f"bad vectors: {e}")
             payloads = [p.get("payload") or {} for p in points]
+            for pl in payloads:
+                extra = set(pl) - _PAYLOAD_FIELDS
+                if extra:
+                    # Real Qdrant stores arbitrary payload JSON; this
+                    # store's columnar schema is the reference's fixed
+                    # 8-field contract. Silently dropping the rest
+                    # (Payload.from_dict keeps known fields only) would
+                    # be undetectable data loss on the write path —
+                    # fail loudly like the range-filter rejection.
+                    raise _Bad(
+                        f"unknown payload field(s) {sorted(extra)}: "
+                        "this store serves the fixed 8-field payload "
+                        f"schema {sorted(_PAYLOAD_FIELDS)}")
             svc.upsert(name, {"ids": ids, "vectors": vectors,
                               "payloads": payloads})
             self._send({"operation_id": 0, "status": "completed"})
@@ -314,9 +337,17 @@ def make_qdrant_handler(svc):
             if "vector" not in body:
                 raise _Bad('missing "vector"')
             flt = _filter_from_qdrant(body)
+            # Qdrant's default is APPROXIMATE (HNSW); params.exact=true
+            # opts into exhaustive search. Mirroring that here keeps
+            # capacity/sharded-scale collections servable through the
+            # façade (a hardcoded exact=True raised at exactly the
+            # scales it exists for); our "approximate" tiers rescore in
+            # f32, so hit scores are exact even when the route isn't.
+            exact = bool((body.get("params") or {}).get("exact", False))
             out = svc.search(name, {
                 "queries": [body["vector"]],
                 "k": int(body.get("limit", 10)),
+                "exact": exact,
                 "with_vectors": bool(body.get("with_vector", False)),
                 **_filter_req(flt),
             })

@@ -254,12 +254,15 @@ def make_handler(svc: GalleryService):
                 # or a byte count that doesn't match the declared shape.
                 return self._json({"error": f"bad binary frame: {e}"}, 400)
             if query and "filter" not in body:
-                from urllib.parse import parse_qs, unquote
+                from urllib.parse import parse_qs
 
+                # parse_qs already percent-decodes values — a second
+                # unquote() corrupted filter values containing literal
+                # %XX sequences (URL-encoded dataset paths).
                 q = parse_qs(query)
                 if "filter" in q:
                     try:
-                        body["filter"] = json.loads(unquote(q["filter"][0]))
+                        body["filter"] = json.loads(q["filter"][0])
                     except json.JSONDecodeError:
                         return self._json({"error": "bad filter json"}, 400)
             try:
@@ -296,10 +299,24 @@ def make_handler(svc: GalleryService):
                         return self._json(svc.delete_points(name, body))
                 return self._json({"error": "not found"}, 404)
             except KeyError as e:
+                if "payload field" in str(e):
+                    # Filter/payload validation (schema raises KeyError
+                    # for unknown fields): a client error, NOT the
+                    # missing-collection 404 — clients key recovery
+                    # paths off 404 (e.g. get_by_path's pre-route
+                    # fallback).
+                    return self._json({"error": str(e)}, 400)
                 return self._json({"error": str(e)}, 404 if "exists"
                                   not in str(e) else 409)
             except (ValueError, TypeError) as e:
                 return self._json({"error": str(e)}, 400)
+            except Exception as e:  # noqa: BLE001 — the HTTP boundary
+                # Anything else must still produce an HTTP response: a
+                # dropped connection makes the client's binary-frame
+                # path misread the failure as pre-binary version skew
+                # and re-send the body as 20x-larger JSON.
+                return self._json(
+                    {"error": f"{type(e).__name__}: {e}"}, 500)
 
         def do_GET(self):
             self._route("GET")

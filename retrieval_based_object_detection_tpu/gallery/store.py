@@ -774,6 +774,13 @@ class Gallery:
         Returns (records, next_offset) where next_offset is None when
         exhausted — the same pagination contract as Qdrant's scroll.
         """
+        if limit < 1:
+            # limit=0 would return next_offset == offset: a pager
+            # looping on next_offset (scroll_all, the documented client
+            # pattern) would spin forever on identical requests.
+            raise ValueError(f"limit must be >= 1, got {limit}")
+        if offset < 0:
+            raise ValueError(f"offset must be >= 0, got {offset}")
         mask = self._mask_live(flt)
         rows = np.nonzero(mask)[0]
         window = rows[offset : offset + limit]
@@ -1303,8 +1310,7 @@ class Gallery:
             raise ValueError(f"method={method!r} requires an even dim "
                              "(two dims pack per byte)")
         queries = np.asarray(queries, dtype=np.float32)
-        single = queries.ndim == 1
-        if single:
+        if queries.ndim == 1:
             queries = queries[None, :]
         if len(self) == 0:  # no LIVE points (all-tombstoned included)
             return [[] for _ in range(queries.shape[0])]

@@ -209,11 +209,15 @@ _VERSION = 1
 
 
 def _snapshot_write_py(path, vectors, payload_blob):
+    import os
+
     with open(path, "wb") as f:
         f.write(_HEADER.pack(_MAGIC, _VERSION, vectors.shape[0],
                              vectors.shape[1], len(payload_blob)))
         f.write(payload_blob)
         f.write(vectors.tobytes())
+        f.flush()
+        os.fsync(f.fileno())  # durability parity with the native writer
 
 
 def _snapshot_read_py(path):

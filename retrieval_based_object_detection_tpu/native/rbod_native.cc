@@ -126,6 +126,11 @@ int snapshot_write(const char* path, const float* vectors, int64_t rows,
   }
   size_t nf = (size_t)rows * (size_t)dim;
   if (ok && nf > 0) ok = write_all(fd, vectors, nf * sizeof(float));
+  // Durability: the caller renames this tmp file into place; without
+  // an fsync the rename can hit disk before the data blocks, leaving a
+  // truncated snapshot after power loss (rename-atomicity covers
+  // crashes of THIS process only).
+  if (ok && ::fsync(fd) != 0) ok = false;
   if (::close(fd) != 0) ok = false;
   return ok ? 0 : 2;
 }

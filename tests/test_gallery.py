@@ -544,3 +544,14 @@ def test_list_snapshots_counts_include_pending_deltas(tmp_path, rng):
     assert dict(list_snapshots(tmp_path))["dc"] == 41  # 40 + 2 - 1
     # Parity with an actual load.
     assert len(load_store(tmp_path).get("dc")) == 41
+
+
+def test_scroll_rejects_nonpositive_limit_and_negative_offset(rng):
+    """limit=0 used to return next_offset == offset — an infinite loop
+    for any pager following the scroll contract."""
+    g = Gallery("sv", dim=DIM)
+    fill(g, 5, rng=rng)
+    with pytest.raises(ValueError, match="limit"):
+        g.scroll(limit=0)
+    with pytest.raises(ValueError, match="offset"):
+        g.scroll(limit=5, offset=-1)

@@ -292,3 +292,45 @@ def test_maintain_endpoint_reclaims_and_persists(server, rng):
     svc2 = GalleryService(root)
     g2 = svc2.store.get("mw")
     assert len(g2) == 8 and g2._n_dead == 0
+
+
+def test_query_param_filter_with_percent_escape_value(server, rng):
+    """parse_qs already percent-decodes; the old extra unquote() turned
+    a literal %20 inside a filter VALUE into a space and matched the
+    wrong rows."""
+    base, _ = server
+    call("PUT", f"{base}/collections/pe", {"dim": 4})
+    call("POST", f"{base}/collections/pe/points",
+         {"ids": ["a", "b"],
+          "vectors": rng.normal(size=(2, 4)).astype(np.float32).tolist(),
+          "payloads": [
+              {"data_type": "x", "class_name": "c",
+               "img_path": "imgs/a%20b.jpg"},
+              {"data_type": "x", "class_name": "c",
+               "img_path": "imgs/a b.jpg"}]})
+    import urllib.parse
+
+    flt = urllib.parse.quote(json.dumps({"img_path": "imgs/a%20b.jpg"}))
+    status, res = call("GET", f"{base}/collections/pe/count?filter={flt}")
+    assert status == 200 and res["count"] == 1
+
+
+def test_unexpected_server_error_returns_500_json(tmp_path):
+    """An unexpected exception must still produce an HTTP response — a
+    dropped connection makes the binary-frame client misread it as
+    pre-binary version skew and re-send the body as JSON."""
+    srv = GS.serve(tmp_path / "store", host="127.0.0.1", port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        call("PUT", f"{base}/collections/er", {"dim": 4})
+
+        def boom(store, root):
+            raise OSError("disk full")
+
+        srv.service._save = boom
+        status, res = call("POST", f"{base}/snapshot", {})
+        assert status == 500 and "disk full" in json.dumps(res)
+    finally:
+        srv.shutdown()

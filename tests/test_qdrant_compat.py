@@ -264,3 +264,74 @@ def test_should_over_the_wire(qdrant_api, rng):
              {"key": "class_name", "match": {"value": "c"}}]}})
     out = _req("POST", f"{base}/collections/orw/points/count", {})
     assert out["result"]["count"] == 8
+
+
+def _req_status(method, url, body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    if data is not None:
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_facade_search_defaults_to_approximate(qdrant_api, rng):
+    """Qdrant's default search is approximate (HNSW); params.exact=true
+    opts into exhaustive. The facade used to hardcode exact=True, which
+    RAISES at capacity/sharded scale — the scales it exists for."""
+    base, svc = qdrant_api
+    _req("PUT", f"{base}/collections/ap",
+         {"vectors": {"size": 16, "distance": "Cosine"}})
+    vecs = rng.normal(size=(30, 16)).astype(np.float32)
+    _req("PUT", f"{base}/collections/ap/points", {
+        "points": [{"id": str(i), "vector": v.tolist(),
+                    "payload": {"class_name": "c"}}
+                   for i, v in enumerate(vecs)]})
+    g = svc.store.get("ap")
+    calls = {}
+    orig = g.search
+
+    def spy(queries, k=10, flt=None, exact=True, with_vectors=False,
+            method=None):
+        calls["exact"] = exact
+        return orig(queries, k=k, flt=flt, exact=exact,
+                    with_vectors=with_vectors, method=method)
+
+    g.search = spy
+    s, out = _req_status("POST", f"{base}/collections/ap/points/search",
+                         {"vector": vecs[3].tolist(), "limit": 3})
+    assert s == 200 and calls["exact"] is False
+    assert out["result"][0]["id"] == "3"  # f32 rescore: same winner
+    s, _ = _req_status("POST", f"{base}/collections/ap/points/search",
+                       {"vector": vecs[3].tolist(), "limit": 3,
+                        "params": {"exact": True}})
+    assert s == 200 and calls["exact"] is True
+    g.search = orig
+
+
+def test_facade_rejects_unknown_payload_fields(qdrant_api):
+    """Real Qdrant stores arbitrary payload JSON; our columnar schema
+    is the fixed 8-field contract — silent field-dropping on upsert is
+    undetectable data loss, so the facade must 400."""
+    base, _ = qdrant_api
+    _req("PUT", f"{base}/collections/pf",
+         {"vectors": {"size": 16, "distance": "Cosine"}})
+    s, out = _req_status("PUT", f"{base}/collections/pf/points", {
+        "points": [{"id": "a", "vector": [0.0] * 16,
+                    "payload": {"class_name": "x",
+                                "source_csv": "run7.csv"}}]})
+    assert s == 400 and "source_csv" in json.dumps(out)
+
+
+def test_facade_unknown_filter_field_is_400_not_404(qdrant_api):
+    base, _ = qdrant_api
+    _req("PUT", f"{base}/collections/ff",
+         {"vectors": {"size": 16, "distance": "Cosine"}})
+    s, out = _req_status("POST", f"{base}/collections/ff/points/count",
+                         {"filter": {"must": [
+                             {"key": "clas_name",
+                              "match": {"value": "x"}}]}})
+    assert s == 400 and "payload field" in json.dumps(out)
