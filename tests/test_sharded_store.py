@@ -271,3 +271,60 @@ def test_attach_mesh_drops_stale_capacity_view(rng):
     again = g.search(q, k=5, exact=False, method="capacity")
     assert g._cap_view is not None
     assert [h.id for h in again[0]]
+
+
+def test_sharded_random_ops_match_exact_oracle(rng):
+    """Randomised upsert/delete/filtered-search interleavings through
+    the ONE store API with a mesh attached: the sharded route's top-1
+    must always match the single-device exact tier, and tombstoned
+    points must never surface — the capacity tier's fuzz oracle,
+    applied to multi-chip (same mask-revival bug class)."""
+    g = Gallery("shfuzz", dim=DIM)
+    ids0, vecs0, pls0 = _mk(rng, 300)
+    g.upsert(ids0, vecs0, pls0)
+    g.attach_mesh(gallery_mesh(8))
+    g.search(rng.normal(size=DIM).astype(np.float32), k=1)  # build view
+    live = set(ids0)
+    next_id = 1000
+    for step in range(25):
+        op = int(rng.integers(0, 3))
+        if op == 0:  # upsert: mix of overwrites and appends
+            n_w = int(rng.integers(1, 5))
+            ids = []
+            for _ in range(n_w):
+                if live and rng.random() < 0.5:
+                    ids.append(sorted(live)[int(rng.integers(0, len(live)))])
+                else:
+                    ids.append(f"id{next_id}")
+                    next_id += 1
+            ids = list(dict.fromkeys(ids))
+            vecs = rng.normal(size=(len(ids), DIM)).astype(np.float32)
+            g.upsert(ids, vecs,
+                     [Payload(data_type="original_images",
+                              class_name="a" if i % 2 else "b",
+                              img_path=f"/f/{pid}.png")
+                      for i, pid in enumerate(ids)])
+            live.update(ids)
+        elif op == 1 and len(live) > 5:  # delete some
+            victims = [sorted(live)[int(i)] for i in
+                       rng.integers(0, len(live), size=2)]
+            g.delete(ids=victims)
+            live.difference_update(victims)
+        else:  # search: sharded top-1 == exact top-1 (self-retrieval)
+            target = sorted(live)[int(rng.integers(0, len(live)))]
+            row = g._id_to_row[target]
+            q = g._vectors[row] + 0.001 * rng.normal(size=DIM).astype(
+                np.float32)
+            sh = g.search(q, k=3)[0]                      # auto sharded
+            # Oracle WITHOUT detaching: explicit method="exact" bypasses
+            # auto-routing, so the live shard view keeps syncing
+            # incrementally across ops (the thing under test).
+            exact = g.search(q, k=3, method="exact")[0]
+            assert g._shard_view is not None
+            assert sh[0].id == exact[0].id == target, (step, target)
+            assert all(h.id in live for h in sh), (step, sh)
+            # Filtered: results obey the filter AND liveness.
+            flt = Filter(must={"class_name": "a"})
+            fh = g.search(q, k=5, flt=flt)[0]
+            assert all(h.payload.class_name == "a" and h.id in live
+                       for h in fh), (step, fh)
