@@ -626,7 +626,7 @@ def list_snapshots(root: str | Path) -> list[tuple[str, int]]:
                 out.append((name, int(counts[name])))
                 continue
             rows, _, _ = native.snapshot_header(p)
-            out.append((p.stem, rows))
+            out.append((name, rows))
         except Exception:
             # One corrupt/truncated file (OSError from the native lib,
             # struct.error from the pure-Python fallback) must not hide

@@ -40,6 +40,7 @@ import numpy as np
 from retrieval_based_object_detection_tpu.gallery.schema import (
     FIELDS,
     Filter,
+    UnknownFieldError,
 )
 
 _PAYLOAD_FIELDS = frozenset(FIELDS)
@@ -169,12 +170,10 @@ def make_qdrant_handler(svc):
                 # Store-level validation (shape/dim mismatches, bad
                 # filter fields) is a client error, not a server fault.
                 return self._error(str(e), 400)
+            except UnknownFieldError as e:
+                # A malformed filter is a 400, not a missing resource.
+                return self._error(str(e), 400)
             except KeyError as e:
-                if "payload field" in str(e):
-                    # schema.Filter raises KeyError for unknown fields —
-                    # a malformed filter is a 400, not a missing
-                    # resource.
-                    return self._error(str(e), 400)
                 return self._error(f"not found: {e}", 404)
             except Exception as e:
                 return self._error(f"{type(e).__name__}: {e}", 500)

@@ -77,6 +77,16 @@ PRE_CASES: dict[str, dict[str, Any]] = {
 }
 
 
+class UnknownFieldError(KeyError, ValueError):
+    """A filter/payload names a field outside the fixed 8-field schema.
+
+    Inherits BOTH KeyError (the historical type — callers catching
+    KeyError keep working) and ValueError (so HTTP boundaries that map
+    ValueError → 400 classify it as a client error by TYPE, not by
+    string-matching the message against the missing-collection
+    KeyError → 404 path)."""
+
+
 @dataclass(frozen=True)
 class Payload:
     """One gallery point's metadata (the 8-field contract)."""
@@ -164,7 +174,8 @@ class Filter:
                   *(f for f, _ in self.must_not),
                   *(f for f, _ in self.should)):
             if k not in FIELDS:
-                raise KeyError(f"unknown payload field in filter: {k!r}")
+                raise UnknownFieldError(
+                    f"unknown payload field in filter: {k!r}")
 
     def __and__(self, other: "Filter") -> "Filter":
         merged = dict(self.must)

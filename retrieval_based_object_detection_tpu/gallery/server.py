@@ -35,7 +35,10 @@ from pathlib import Path
 
 import numpy as np
 
-from retrieval_based_object_detection_tpu.gallery.schema import Filter
+from retrieval_based_object_detection_tpu.gallery.schema import (
+    Filter,
+    UnknownFieldError,
+)
 from retrieval_based_object_detection_tpu.gallery.store import VectorStore
 
 
@@ -298,14 +301,12 @@ def make_handler(svc: GalleryService):
                     if op == "delete":
                         return self._json(svc.delete_points(name, body))
                 return self._json({"error": "not found"}, 404)
+            except UnknownFieldError as e:
+                # Filter/payload validation: a client error, NOT the
+                # missing-collection 404 — clients key recovery paths
+                # off 404 (e.g. get_by_path's pre-route fallback).
+                return self._json({"error": str(e)}, 400)
             except KeyError as e:
-                if "payload field" in str(e):
-                    # Filter/payload validation (schema raises KeyError
-                    # for unknown fields): a client error, NOT the
-                    # missing-collection 404 — clients key recovery
-                    # paths off 404 (e.g. get_by_path's pre-route
-                    # fallback).
-                    return self._json({"error": str(e)}, 400)
                 return self._json({"error": str(e)}, 404 if "exists"
                                   not in str(e) else 409)
             except (ValueError, TypeError) as e:

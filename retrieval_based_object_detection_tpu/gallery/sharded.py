@@ -23,6 +23,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from retrieval_based_object_detection_tpu.gallery import search as search_lib
+from retrieval_based_object_detection_tpu.gallery.capacity import (
+    _CHUNK,
+    _fill_chunk,
+    id_keyed_upsert,
+)
 
 AXIS = "gallery"
 
@@ -240,11 +245,6 @@ class ShardedGallerySearcher:
             # shards — the same mechanism _patch_write_tile relies on).
             # Quantised tiers only; rescored hit scores carry bf16's
             # ~1e-2 drift.
-            from retrieval_based_object_detection_tpu.gallery.capacity import (
-                _CHUNK,
-                _fill_chunk,
-            )
-
             n_shards = mesh.shape[AXIS]
             per = shard_rows(self.n_rows + max(0, headroom), n_shards)
             total = per * n_shards
@@ -261,9 +261,11 @@ class ShardedGallerySearcher:
             staged = np.zeros((chunk, d), np.float32)
             for start in range(0, total, chunk):
                 c = min(chunk, total - start)  # DUS clamps OOB starts
-                buf = staged[:c] if c == chunk else np.zeros((c, d),
-                                                             np.float32)
-                buf[:] = 0.0
+                if c == chunk:
+                    buf = staged
+                    buf[:] = 0.0  # reused across iterations
+                else:  # ragged tail: fresh (already-zero) buffer
+                    buf = np.zeros((c, d), np.float32)
                 hi = min(start + c, self.n_rows)
                 if hi > start:
                     buf[: hi - start] = vectors[start:hi]
@@ -419,10 +421,6 @@ class ShardedGallerySearcher:
         """Id-keyed insert-or-replace (Gallery.upsert semantics on the
         sharded view — the ONE shared implementation with
         ``CapacitySearcher.upsert``, capacity.id_keyed_upsert)."""
-        from retrieval_based_object_detection_tpu.gallery.capacity import (
-            id_keyed_upsert,
-        )
-
         return id_keyed_upsert(self, ids, vectors,
                                int(self.dev_vectors.shape[0]))
 

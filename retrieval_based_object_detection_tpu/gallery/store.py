@@ -19,6 +19,7 @@ boolean row mask and the device does one masked matmul + top_k
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Iterable, Sequence
@@ -123,10 +124,8 @@ class Gallery:
         # paths are unchanged (NumPy semantics are identical).
         self._vectors_path = vectors_path
         if vectors_path:
-            import os as _os
-
-            if _os.path.exists(vectors_path) and \
-                    _os.path.getsize(vectors_path) > 0:
+            if os.path.exists(vectors_path) and \
+                    os.path.getsize(vectors_path) > 0:
                 # A fresh Gallery is an EMPTY collection; silently
                 # zero-truncating 20 GB of existing rows here would be
                 # a data-loss footgun. Reload on-disk data through the
