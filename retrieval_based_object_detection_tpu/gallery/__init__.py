@@ -12,6 +12,7 @@ from retrieval_based_object_detection_tpu.gallery.schema import (  # noqa: F401
     FIELDS,
     Filter,
     Payload,
+    UnknownFieldError,
 )
 from retrieval_based_object_detection_tpu.gallery.store import (  # noqa: F401
     Gallery,
