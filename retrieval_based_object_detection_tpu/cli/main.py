@@ -590,7 +590,8 @@ def cmd_gallery_server(args) -> int:
 
     srv = serve(args.store, host=args.host, port=args.port,
                 api=getattr(args, "api", "native"),
-                mesh_devices=getattr(args, "mesh_devices", 0))
+                mesh_devices=getattr(args, "mesh_devices", 0),
+                warm=getattr(args, "warm", False))
     print(f"gallery service on http://{args.host}:{srv.server_address[1]} "
           f"(store: {args.store}, api: {getattr(args, 'api', 'native')})")
     # Container orchestrators stop with SIGTERM, not Ctrl-C — route it
@@ -1276,6 +1277,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="shard every cosine collection over an N-device "
                          "gallery mesh (-1 = all visible devices); "
                          "searches route through the ICI-sharded tier")
+    sp.add_argument("--warm", action="store_true",
+                    help="pre-build each collection's serving tier in a "
+                         "background thread at startup — the first "
+                         "client query otherwise pays the device view "
+                         "build (minutes at 10M rows)")
 
     sp = add("convert-weights", cmd_convert_weights,
              help="torch checkpoint -> orbax dir (clip or sam)")

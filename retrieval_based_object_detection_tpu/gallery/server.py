@@ -78,6 +78,29 @@ class GalleryService:
                  else min(mesh_devices, jax.device_count()))
             self.store.attach_mesh(gallery_mesh(n))
         self.lock = threading.RLock()
+        self.warming = False  # True while a background warm runs
+
+    def warm_async(self) -> None:
+        """Pre-pay first-query costs in a background thread: per
+        collection, build the auto serving tier + trigger compiles
+        (Gallery.warm). The port binds immediately; a client query on a
+        still-cold collection just waits on the lock exactly as it
+        would have waited on its own cold build — warming never makes a
+        request slower, only earlier."""
+        import sys
+
+        def _run():
+            try:
+                for name, _ in list(self.store.list_collections()):
+                    with self.lock:
+                        s = self.store.get(name).warm()
+                    print(f"[gallery] warmed {name!r} in {s:.1f}s",
+                          file=sys.stderr)
+            finally:
+                self.warming = False
+
+        self.warming = True
+        threading.Thread(target=_run, daemon=True).start()
 
     def snapshot(self) -> dict:
         with self.lock:
@@ -337,7 +360,8 @@ def make_handler(svc: GalleryService):
 def serve(root: str | Path, host: str = "0.0.0.0", port: int = 6333,
           mmap_vectors: bool = True,
           api: str = "native",
-          mesh_devices: int = 0) -> ThreadingHTTPServer:
+          mesh_devices: int = 0,
+          warm: bool = False) -> ThreadingHTTPServer:
     """Start the gallery service (port 6333 mirrors Qdrant's). Returns the
     server; the caller runs serve_forever and calls service.snapshot() on
     shutdown.
@@ -347,9 +371,14 @@ def serve(root: str | Path, host: str = "0.0.0.0", port: int = 6333,
     reference's own qdrant-client call sites work against it unchanged.
     ``mesh_devices`` > 0 (or -1 for all visible devices) serves every
     cosine collection through the ICI-sharded tier.
+    ``warm=True`` pre-builds each collection's serving tier in a
+    background thread (Gallery.warm) — at 10M rows the first query
+    otherwise pays minutes of view build (DESIGN "capacity_10m").
     """
     svc = GalleryService(root, mmap_vectors=mmap_vectors,
                          mesh_devices=mesh_devices)
+    if warm:
+        svc.warm_async()
     if api == "qdrant":
         from retrieval_based_object_detection_tpu.gallery.qdrant_compat import (
             make_qdrant_handler,

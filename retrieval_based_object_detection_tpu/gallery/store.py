@@ -589,6 +589,31 @@ class Gallery:
                 self.compact()
         return removed
 
+    def warm(self, k: int = 10,
+             filters: Sequence[Filter] = ()) -> float:
+        """Pre-pay the first query's costs NOW: build the auto serving
+        tier's device state (capacity/sharded view or mirrors — at 10M
+        that is minutes of host→device transfer), trigger the jit
+        compiles, and pre-build the device masks for ``filters`` (a
+        cold filtered query at 10M costs ~1 s of host mask build +
+        upload; cached ~60 ms — DESIGN "capacity_10m"). Call from a
+        startup hook / the service's --warm thread so the first CLIENT
+        query is steady-state fast. Returns wall seconds. No-op on an
+        empty collection."""
+        import time
+
+        t0 = time.perf_counter()
+        if len(self):
+            q = np.asarray(self._vectors[:1], np.float32)  # a real row
+            k_eff = min(k, len(self))
+            # exact=False follows the production auto route (sharded
+            # when a mesh is attached, capacity past the HBM budget,
+            # int8/bf16 below).
+            self.search(q, k=k_eff, exact=False)
+            for flt in filters:
+                self.search(q, k=k_eff, flt=flt, exact=False)
+        return time.perf_counter() - t0
+
     def maintain(self, force: bool = False) -> int:
         """Run deferred maintenance (physical compaction) NOW.
 

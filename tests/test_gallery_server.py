@@ -334,3 +334,50 @@ def test_unexpected_server_error_returns_500_json(tmp_path):
         assert status == 500 and "disk full" in json.dumps(res)
     finally:
         srv.shutdown()
+
+
+def test_warm_prebuilds_serving_state(tmp_path, rng):
+    """Gallery.warm builds the auto serving tier + filter masks ahead
+    of the first client query; serve(warm=True) runs it in a background
+    thread (at 10M the cold first query pays minutes of view build)."""
+    import time
+
+    from retrieval_based_object_detection_tpu.gallery import persist
+    from retrieval_based_object_detection_tpu.gallery.schema import (
+        Filter,
+        Payload,
+    )
+    from retrieval_based_object_detection_tpu.gallery.store import (
+        Gallery,
+        VectorStore,
+    )
+
+    store = VectorStore()
+    g = store.create_collection("w", dim=16)
+    g.upsert([f"p{i}" for i in range(40)],
+             np.random.default_rng(0).normal(size=(40, 16)).astype(
+                 np.float32),
+             [Payload(data_type="original_images",
+                      class_name="a" if i % 2 else "b",
+                      img_path=f"/w/{i}.png") for i in range(40)])
+    flt = Filter(must={"class_name": "a"})
+    secs = g.warm(filters=[flt])
+    assert secs >= 0.0
+    assert g._dev_bf16 is not None or g._dev_f32 is not None
+    assert flt.cache_key() in g._mask_cache  # filtered mask pre-built
+    # Through the service: background warm flag clears when done.
+    persist.save_store(store, tmp_path / "store")
+    srv = GS.serve(tmp_path / "store", host="127.0.0.1", port=0,
+                   warm=True)
+    # shutdown() blocks until serve_forever's loop observes it — the
+    # loop must actually be running.
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        deadline = time.time() + 30
+        while srv.service.warming and time.time() < deadline:
+            time.sleep(0.05)
+        assert not srv.service.warming
+        g2 = srv.service.store.get("w")
+        assert g2._dev_bf16 is not None or g2._dev_f32 is not None
+    finally:
+        srv.shutdown()
