@@ -664,7 +664,21 @@ def cmd_serve(args) -> int:
         params, gallery, config,
         delegate_type=args.delegate_type, case=args.case,
         data_type=args.data_type)
+    if getattr(args, "warm", False):
+        # Pre-pay the first request's jit compiles (~13 s measured on
+        # the tunnel for the fused saliency→crop→encode→classify chain
+        # at batch 1) with one dummy detect at the serving resolution.
+        import time as _time
+
+        import numpy as _np
+
+        t0 = _time.perf_counter()
+        detector.detect(_np.zeros((1, args.serving_size,
+                                   args.serving_size, 3), _np.uint8))
+        print(f"warmed detect pipeline in "
+              f"{_time.perf_counter() - t0:.1f}s", file=sys.stderr)
     srv = serve_http(detector, host=args.host, port=args.port,
+                     serving_size=args.serving_size,
                      max_batch=args.max_batch,
                      batch_wait_ms=args.batch_wait_ms)
     print(f"serving retrieval-as-detection on "
@@ -1303,6 +1317,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--data-type", default="original_images")
     sp.add_argument("--host", default="0.0.0.0")
     sp.add_argument("--port", type=int, default=8080)
+    sp.add_argument("--serving-size", type=int, default=512,
+                    dest="serving_size",
+                    help="fixed letterbox square for uploads (one jit "
+                         "shape however clients resize)")
+    sp.add_argument("--warm", action="store_true",
+                    help="run one dummy detect before binding so the "
+                         "first client request skips the jit compiles")
     sp.add_argument("--max-batch", type=int, default=16,
                     help="micro-batch concurrent requests into shared "
                          "device dispatches (1 disables)")
