@@ -166,12 +166,12 @@ def make_qdrant_handler(svc):
                 return fn(name)
             except _Bad as e:
                 return self._error(str(e), 400)
-            except ValueError as e:
-                # Store-level validation (shape/dim mismatches, bad
-                # filter fields) is a client error, not a server fault.
-                return self._error(str(e), 400)
-            except UnknownFieldError as e:
-                # A malformed filter is a 400, not a missing resource.
+            except (ValueError, UnknownFieldError) as e:
+                # Store-level validation (shape/dim mismatches, unknown
+                # filter fields — UnknownFieldError IS a ValueError,
+                # named here so the 400-vs-404 intent is explicit and
+                # it can never fall through to the KeyError clause) is
+                # a client error, not a server fault.
                 return self._error(str(e), 400)
             except KeyError as e:
                 return self._error(f"not found: {e}", 404)

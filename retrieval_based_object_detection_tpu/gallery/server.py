@@ -82,20 +82,32 @@ class GalleryService:
 
     def warm_async(self) -> None:
         """Pre-pay first-query costs in a background thread: per
-        collection, build the auto serving tier + trigger compiles
-        (Gallery.warm). The port binds immediately; a client query on a
-        still-cold collection just waits on the lock exactly as it
-        would have waited on its own cold build — warming never makes a
-        request slower, only earlier."""
+        collection, build the serving tiers + trigger compiles
+        (Gallery.warm). The port binds immediately. Lock semantics:
+        the service lock is held PER COLLECTION while it warms, so a
+        request to the warming collection waits exactly as it would
+        have waited on its own cold build, but requests to OTHER
+        collections also wait their turn behind it — smallest
+        collections warm first so they come online soonest. A failing
+        (or concurrently deleted) collection is logged and skipped,
+        never aborting the rest."""
         import sys
 
         def _run():
             try:
-                for name, _ in list(self.store.list_collections()):
-                    with self.lock:
-                        s = self.store.get(name).warm()
-                    print(f"[gallery] warmed {name!r} in {s:.1f}s",
-                          file=sys.stderr)
+                with self.lock:  # consistent snapshot of the name list
+                    names = [n for n, _ in sorted(
+                        self.store.list_collections(),
+                        key=lambda nc: nc[1])]
+                for name in names:
+                    try:
+                        with self.lock:
+                            s = self.store.get(name).warm()
+                        print(f"[gallery] warmed {name!r} in {s:.1f}s",
+                              file=sys.stderr)
+                    except Exception as e:  # noqa: BLE001 — keep going
+                        print(f"[gallery] warm of {name!r} failed: "
+                              f"{type(e).__name__}: {e}", file=sys.stderr)
             finally:
                 self.warming = False
 

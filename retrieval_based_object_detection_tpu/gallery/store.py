@@ -608,10 +608,19 @@ class Gallery:
             k_eff = min(k, len(self))
             # exact=False follows the production auto route (sharded
             # when a mesh is attached, capacity past the HBM budget,
-            # int8/bf16 below).
-            self.search(q, k=k_eff, exact=False)
-            for flt in filters:
-                self.search(q, k=k_eff, flt=flt, exact=False)
+            # int8/bf16 below). The native HTTP API's DEFAULT is
+            # exact=True, so also warm the f32 mirror — but only where
+            # it fits (at capacity scale / under a mesh an exact search
+            # raises or never runs through this store's mirrors).
+            exact_fits = (self._gallery_mesh is None
+                          and not (self.distance == "cosine"
+                                   and self.dim % 2 == 0
+                                   and self._nrows * self.dim * 5
+                                   > self.CAPACITY_AUTO_BYTES))
+            for exact in ((False, True) if exact_fits else (False,)):
+                self.search(q, k=k_eff, exact=exact)
+                for flt in filters:
+                    self.search(q, k=k_eff, flt=flt, exact=exact)
         return time.perf_counter() - t0
 
     def maintain(self, force: bool = False) -> int:

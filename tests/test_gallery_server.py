@@ -363,7 +363,9 @@ def test_warm_prebuilds_serving_state(tmp_path, rng):
     flt = Filter(must={"class_name": "a"})
     secs = g.warm(filters=[flt])
     assert secs >= 0.0
-    assert g._dev_bf16 is not None or g._dev_f32 is not None
+    # BOTH routes pre-built at this scale: the approximate tier AND the
+    # native API's exact=True default (f32 mirror).
+    assert g._dev_bf16 is not None and g._dev_f32 is not None
     assert flt.cache_key() in g._mask_cache  # filtered mask pre-built
     # Through the service: background warm flag clears when done.
     persist.save_store(store, tmp_path / "store")
@@ -378,6 +380,42 @@ def test_warm_prebuilds_serving_state(tmp_path, rng):
             time.sleep(0.05)
         assert not srv.service.warming
         g2 = srv.service.store.get("w")
-        assert g2._dev_bf16 is not None or g2._dev_f32 is not None
+        assert g2._dev_bf16 is not None and g2._dev_f32 is not None
+    finally:
+        srv.shutdown()
+
+
+def test_warm_skips_failing_collection(tmp_path, rng):
+    """One broken collection must not abort warming of the rest."""
+    import time
+
+    from retrieval_based_object_detection_tpu.gallery import persist
+    from retrieval_based_object_detection_tpu.gallery.schema import Payload
+    from retrieval_based_object_detection_tpu.gallery.store import (
+        VectorStore,
+    )
+
+    store = VectorStore()
+    for name in ("bad", "zz_good"):  # bad sorts first by size tie
+        g = store.create_collection(name, dim=8)
+        g.upsert([f"{name}{i}" for i in range(4)],
+                 rng.normal(size=(4, 8)).astype(np.float32),
+                 [Payload(data_type="original_images", class_name="c",
+                          img_path=f"/{name}/{i}.png") for i in range(4)])
+    persist.save_store(store, tmp_path / "store")
+    srv = GS.serve(tmp_path / "store", host="127.0.0.1", port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        bad = srv.service.store.get("bad")
+        def boom(*a, **k):
+            raise RuntimeError("simulated device error")
+        bad.warm = boom
+        srv.service.warm_async()
+        deadline = time.time() + 30
+        while srv.service.warming and time.time() < deadline:
+            time.sleep(0.05)
+        assert not srv.service.warming
+        good = srv.service.store.get("zz_good")
+        assert good._dev_f32 is not None  # warmed despite the failure
     finally:
         srv.shutdown()
