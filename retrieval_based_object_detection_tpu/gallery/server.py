@@ -304,6 +304,14 @@ def make_handler(svc: GalleryService):
                     except json.JSONDecodeError:
                         return self._json({"error": "bad filter json"}, 400)
             try:
+                if parts == ["healthz"] and method == "GET":
+                    # Liveness probe for orchestrators (the detect
+                    # endpoint has the same); ``warming`` tells a
+                    # readiness gate that --warm is still pre-building
+                    # serving tiers (requests are ANSWERED meanwhile —
+                    # they queue behind the warming collection's lock).
+                    return self._json({"status": "ok",
+                                       "warming": svc.warming})
                 if parts == ["collections"] and method == "GET":
                     return self._json(svc.list_collections())
                 if parts == ["snapshot"] and method == "POST":

@@ -419,3 +419,9 @@ def test_warm_skips_failing_collection(tmp_path, rng):
         assert good._dev_f32 is not None  # warmed despite the failure
     finally:
         srv.shutdown()
+
+
+def test_gallery_server_healthz(server):
+    base, _ = server
+    st, out = call("GET", f"{base}/healthz")
+    assert st == 200 and out["status"] == "ok" and out["warming"] is False
