@@ -335,3 +335,45 @@ def test_facade_unknown_filter_field_is_400_not_404(qdrant_api):
                              {"key": "clas_name",
                               "match": {"value": "x"}}]}})
     assert s == 400 and "payload field" in json.dumps(out)
+
+
+def test_facade_over_mesh_sharded_store(tmp_path, rng):
+    """The full Qdrant-replacement-at-scale story in one wire test:
+    `--api qdrant --mesh-devices N` — a real qdrant-shaped client
+    upserts, searches (approximate default -> the ICI-sharded tier),
+    deletes, and the sharded view stays in sync, all over the Qdrant
+    wire format."""
+    import threading
+
+    from retrieval_based_object_detection_tpu.gallery import (
+        server as server_mod2,
+    )
+
+    srv = server_mod2.serve(tmp_path / "store", host="127.0.0.1", port=0,
+                            api="qdrant", mesh_devices=-1)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        _req("PUT", f"{base}/collections/pod",
+             {"vectors": {"size": 16, "distance": "Cosine"}})
+        vecs = rng.normal(size=(40, 16)).astype(np.float32)
+        _req("PUT", f"{base}/collections/pod/points", {
+            "points": [{"id": str(i), "vector": v.tolist(),
+                        "payload": {"data_type": "original_images",
+                                    "class_name": "a" if i % 2 else "b",
+                                    "img_path": f"/p{i}.png"}}
+                       for i, v in enumerate(vecs)]})
+        out = _req("POST", f"{base}/collections/pod/points/search",
+                   {"vector": vecs[7].tolist(), "limit": 3,
+                    "filter": {"must": [{"key": "class_name",
+                                         "match": {"value": "a"}}]}})
+        assert out["result"][0]["id"] == "7"
+        g = srv.service.store.get("pod")
+        assert g._shard_view is not None  # approximate default -> sharded
+        _req("POST", f"{base}/collections/pod/points/delete",
+             {"points": ["7"]})
+        out = _req("POST", f"{base}/collections/pod/points/search",
+                   {"vector": vecs[7].tolist(), "limit": 3})
+        assert all(h["id"] != "7" for h in out["result"])
+    finally:
+        srv.shutdown()
