@@ -425,3 +425,82 @@ def test_gallery_server_healthz(server):
     base, _ = server
     st, out = call("GET", f"{base}/healthz")
     assert st == 200 and out["status"] == "ok" and out["warming"] is False
+
+
+def test_concurrent_requests_during_warm_and_mutations(tmp_path, rng):
+    """Race hunt: N client threads hammer search/upsert/delete/scroll
+    over the wire WHILE the warm thread runs — no 500s, no torn reads,
+    and the store ends consistent (the service lock + warm thread +
+    SIGTERM snapshot are the only concurrency in the system)."""
+    import concurrent.futures
+    import time
+
+    from retrieval_based_object_detection_tpu.gallery import persist
+    from retrieval_based_object_detection_tpu.gallery.schema import Payload
+    from retrieval_based_object_detection_tpu.gallery.store import (
+        VectorStore,
+    )
+
+    store = VectorStore()
+    g = store.create_collection("rc", dim=16)
+    g.upsert([f"p{i}" for i in range(64)],
+             rng.normal(size=(64, 16)).astype(np.float32),
+             [Payload(data_type="original_images", class_name="c",
+                      img_path=f"/rc/{i}.png") for i in range(64)])
+    persist.save_store(store, tmp_path / "store")
+    srv = GS.serve(tmp_path / "store", host="127.0.0.1", port=0,
+                   warm=True)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    errors = []
+
+    def worker(wid):
+        r = np.random.default_rng(wid)
+        for it in range(12):
+            op = it % 4
+            try:
+                if op == 0:
+                    st, out = call(
+                        "POST", f"{base}/collections/rc/points/search",
+                        {"queries": [r.normal(size=16).tolist()], "k": 3})
+                    assert st == 200 and out["results"][0], (st, out)
+                elif op == 1:
+                    pid = f"w{wid}-{it}"
+                    st, out = call(
+                        "POST", f"{base}/collections/rc/points",
+                        {"ids": [pid],
+                         "vectors": [r.normal(size=16).tolist()],
+                         "payloads": [{"data_type": "original_images",
+                                       "class_name": "c",
+                                       "img_path": f"/rc/{pid}.png"}]})
+                    assert st == 200, (st, out)
+                elif op == 2:
+                    st, out = call(
+                        "POST", f"{base}/collections/rc/points/scroll",
+                        {"limit": 5})
+                    assert st == 200 and len(out["points"]) == 5
+                else:
+                    st, out = call(
+                        "POST", f"{base}/collections/rc/points/delete",
+                        {"ids": [f"w{wid}-{it - 3}"]})
+                    assert st == 200, (st, out)
+            except Exception as e:  # collected, not raised mid-pool
+                errors.append((wid, it, repr(e)))
+
+    try:
+        with concurrent.futures.ThreadPoolExecutor(8) as ex:
+            list(ex.map(worker, range(8)))
+        assert not errors, errors[:4]
+        deadline = time.time() + 30
+        while srv.service.warming and time.time() < deadline:
+            time.sleep(0.05)
+        # Final consistency over the wire: count == live points.
+        st, out = call("GET", f"{base}/collections/rc/count")
+        g2 = srv.service.store.get("rc")
+        assert st == 200 and out["count"] == len(g2)
+        # And a search still answers correctly after the storm.
+        st, out = call("POST", f"{base}/collections/rc/points/search",
+                       {"queries": [np.zeros(16).tolist()], "k": 3})
+        assert st == 200 and len(out["results"][0]) == 3
+    finally:
+        srv.shutdown()
