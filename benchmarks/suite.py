@@ -321,10 +321,13 @@ def bench_capacity_10m(quick: bool) -> dict:
     if quick:
         return {"skipped": "10M-row build is not quick (--quick)"}
 
-    def rss_gb():
+    def rss_gb(field: str = "VmRSS"):
+        # VmRSS = instantaneous; VmHWM = kernel-tracked high-water mark
+        # (the honest "peak" — a point sample after a phase freed its
+        # buffers under-reports what capacity planning must size for).
         with open("/proc/self/status") as f:
             for line in f:
-                if line.startswith("VmRSS"):
+                if line.startswith(field):
                     return round(int(line.split()[1]) / 2**20, 2)
         return -1.0
 
@@ -444,7 +447,7 @@ def bench_capacity_10m(quick: bool) -> dict:
     assert r.payload.class_name == "written"
     out["first_retrieve_after_restart_ms"] = round(
         (_time.perf_counter() - t0) * 1000, 1)
-    out["host_rss_gb_peak"] = rss_gb()
+    out["host_rss_gb_peak"] = rss_gb("VmHWM")
     _shutil.rmtree(root, ignore_errors=True)
     return out
 

@@ -111,6 +111,33 @@ class GalleryClient:
         self.name = name
         self._dim = dim
         self.distance = distance
+        self._neg_filters_ok: bool | None = None  # probed on first use
+
+    def _checked_filter_body(self, flt: Filter | None) -> dict:
+        """Wire-encode a filter; REFUSE to send must_not/should clauses
+        to a server that does not advertise support (GET /healthz
+        ``filters``): an older server reads only body['filter'] and
+        would silently ignore the negative/OR clauses — a filtered
+        delete would then remove rows the must_not was protecting.
+        Failing loudly beats misfiltering (same stance as the façade's
+        unsupported-clause 400s)."""
+        body = _filter_body(flt)
+        if "filter_not" in body or "filter_should" in body:
+            if self._neg_filters_ok is None:
+                try:
+                    out = _request("GET", f"{self.base}/healthz")
+                    self._neg_filters_ok = "must_not" in (
+                        out.get("filters") or ())
+                except Exception:
+                    self._neg_filters_ok = False
+            if not self._neg_filters_ok:
+                raise GalleryServiceError(
+                    400,
+                    "server does not advertise must_not/should filter "
+                    "support (GET /healthz) — an older gallery-server "
+                    "silently ignores those clauses; upgrade it or use "
+                    "must-only filters")
+        return body
 
     # ------------------------------------------------------------ meta
     @property
@@ -132,7 +159,7 @@ class GalleryClient:
 
     def count(self, flt: Filter | None = None) -> int:
         return int(_request("POST", self._url("/count"),
-                            _filter_body(flt))["count"])
+                            self._checked_filter_body(flt))["count"])
 
     # ------------------------------------------------------------ writes
     def upsert(self, ids: Sequence[str], vectors, payloads) -> int:
@@ -148,7 +175,7 @@ class GalleryClient:
 
     def delete(self, ids: Sequence[str] | None = None,
                flt: Filter | None = None) -> int:
-        body = _filter_body(flt)
+        body = self._checked_filter_body(flt)
         if ids is not None:
             body["ids"] = list(ids)
         return int(_request("POST", self._url("/points/delete"),
@@ -168,7 +195,7 @@ class GalleryClient:
     def scroll(self, flt: Filter | None = None, limit: int = 10,
                offset: int = 0, with_vectors: bool = False
                ) -> tuple[list[Record], int | None]:
-        body = _filter_body(flt)
+        body = self._checked_filter_body(flt)
         body.update(limit=limit, offset=offset, with_vectors=with_vectors)
         out = _request("POST", self._url("/points/scroll"), body)
         return ([self._record(p) for p in out["points"]],
@@ -229,7 +256,7 @@ class GalleryClient:
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None, :]
-        body = _filter_body(flt)
+        body = self._checked_filter_body(flt)
         # method=None -> "auto": the SERVER's Gallery.search picks the
         # tier (exact / bf16 / int8-at-scale), same as a local gallery.
         body.update(k=k, method=method or "auto", exact=exact,

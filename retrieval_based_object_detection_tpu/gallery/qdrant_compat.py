@@ -150,6 +150,21 @@ def make_qdrant_handler(svc):
         def _route(self, method: str) -> None:
             path = self.path.split("?", 1)[0]
             try:
+                if path == "/healthz" and method == "GET":
+                    # Real Qdrant serves /healthz too; orchestrator
+                    # probes (and the compose healthcheck) must work
+                    # under --api qdrant, and a readiness gate needs
+                    # somewhere to read the --warm progress. Plain-text
+                    # body like Qdrant's, warming via header.
+                    body = b"healthz check passed"
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.send_header("X-Rbod-Warming",
+                                     "true" if svc.warming else "false")
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return None
                 if path == "/collections" and method == "GET":
                     return self._send({"collections": [
                         {"name": c["name"]}

@@ -563,8 +563,11 @@ class PayloadColumns:
     def export_rows(self, rows: np.ndarray) -> dict:
         """Columnar export of an ARBITRARY row subset, in the same
         structure as ``export_columns`` (incremental delta snapshots
-        serialise only the rows changed since the last save)."""
-        self._ensure_paths()
+        serialise only the rows changed since the last save). Paths
+        come through ``path_of`` — splitting the whole NUL blob +
+        building the path dict (~20 s at 10M) to export a handful of
+        dirty rows would blow the ms-scale delta-save shutdown budget
+        on a lazily restarted gallery."""
         import base64
 
         rows = np.asarray(rows, np.int64)
@@ -583,7 +586,7 @@ class PayloadColumns:
                     np.packbits(self._cols[f][rows])).decode("ascii")
                 for f in BOOL_FIELDS
             },
-            "img_path": [self._img_path[r] or "" for r in rows],
+            "img_path": [self.path_of(int(r)) for r in rows],
         }
 
     def export_binary(self, n: int) -> tuple[dict, list[tuple[str, bytes]]]:

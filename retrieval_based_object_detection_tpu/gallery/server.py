@@ -310,8 +310,14 @@ def make_handler(svc: GalleryService):
                     # readiness gate that --warm is still pre-building
                     # serving tiers (requests are ANSWERED meanwhile —
                     # they queue behind the warming collection's lock).
+                    # ``filters`` advertises clause support so clients
+                    # can refuse to send must_not/should to an older
+                    # server that would silently ignore them
+                    # (misfiltering is worse than failing).
                     return self._json({"status": "ok",
-                                       "warming": svc.warming})
+                                       "warming": svc.warming,
+                                       "filters": ["must", "must_not",
+                                                   "should"]})
                 if parts == ["collections"] and method == "GET":
                     return self._json(svc.list_collections())
                 if parts == ["snapshot"] and method == "POST":

@@ -43,7 +43,11 @@ def initialize(coordinator_address: str | None = None,
         # loudly: degrading to process_count()==1 would make
         # host_shard_range assign this host the WHOLE gallery and the
         # job would silently produce duplicated/overlapping shards.
-        if "already initialized" not in str(e).lower():
+        # jax has used both messages across versions: "already
+        # initialized" and "should only be called once" (0.9).
+        msg = str(e).lower()
+        if ("already initialized" not in msg
+                and "only be called once" not in msg):
             raise
 
 

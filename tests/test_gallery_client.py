@@ -276,3 +276,39 @@ def test_get_by_path_pre_route_404_falls_back_to_scroll(rng, monkeypatch):
     monkeypatch.setattr(C, "_request", raise500)
     with pytest.raises(C.GalleryServiceError, match="500"):
         gc.get_by_path("/a.png")
+
+
+def test_client_refuses_neg_filters_against_old_server(service, rng,
+                                                       monkeypatch):
+    """must_not/should must never be SILENTLY dropped by an older
+    server (it reads only body['filter']): the client probes /healthz
+    capability once and fails loudly when unsupported."""
+    from retrieval_based_object_detection_tpu.gallery import client as C
+
+    base = service
+    store = RemoteVectorStore(base)
+    store.create_collection("c", dim=8)
+    gc = C.GalleryClient(base, "c")
+    gc_old = C.GalleryClient(base, "c")
+    ids = [f"n{i}" for i in range(6)]
+    gc.upsert(ids, rng.normal(size=(6, 8)).astype(np.float32),
+              [Payload(data_type="original_images",
+                       class_name="a" if i % 2 else "b",
+                       img_path=f"/n/{i}.png").to_dict()
+               for i in range(6)])
+    # Current server advertises support: the clause works end to end.
+    n = gc.count(Filter(must_not=(("class_name", "a"),)))
+    assert n == gc.count(Filter(must={"class_name": "b"}))
+    # Simulate an old server: healthz 404s -> loud error, not misfilter.
+    orig = C._request
+
+    def no_healthz(method, url, body=None, **kw):
+        if url.endswith("/healthz"):
+            raise C.GalleryServiceError(404, "not found")
+        return orig(method, url, body, **kw)
+
+    monkeypatch.setattr(C, "_request", no_healthz)
+    with pytest.raises(C.GalleryServiceError, match="must_not"):
+        gc_old.count(Filter(must_not=(("class_name", "a"),)))
+    # must-only filters keep working against the old server.
+    assert gc_old.count(Filter(must={"class_name": "b"})) == n
