@@ -30,7 +30,6 @@ Run: JAX_PLATFORMS=cpu python benchmarks/retrieval_quality.py
 
 from __future__ import annotations
 
-import dataclasses
 from pathlib import Path
 
 import numpy as np

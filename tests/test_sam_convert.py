@@ -7,7 +7,6 @@ checkpoint file.
 """
 
 import numpy as np
-import pytest
 
 from retrieval_based_object_detection_tpu.models.sam import convert as SC
 from retrieval_based_object_detection_tpu.models.sam import model as SM
