@@ -328,3 +328,38 @@ def test_sharded_random_ops_match_exact_oracle(rng):
             fh = g.search(q, k=5, flt=flt)[0]
             assert all(h.payload.class_name == "a" and h.id in live
                        for h in fh), (step, fh)
+
+
+def test_sharded_capacity_chunked_build_matches_direct_planes(rng):
+    """The chunk-wise capacity build (bf16 + int4 patched via donated
+    DUS on sharded buffers) must equal a direct full-array build
+    bit-for-bit — chunking is a memory-layout decision, never a
+    numerics one."""
+    import jax.numpy as jnp
+
+    from retrieval_based_object_detection_tpu.gallery import (
+        search as search_lib,
+    )
+    from retrieval_based_object_detection_tpu.gallery import sharded as sh
+
+    n = 700  # not chunk- or shard-aligned: exercises padding + tail
+    vecs = rng.normal(size=(n, DIM)).astype(np.float32)
+    mask = np.ones(n, bool)
+    view = sh.ShardedGallerySearcher(vecs, mask, gallery_mesh(8),
+                                     capacity=True)
+    total = int(view.dev_vectors.shape[0])
+    rows = vecs / np.maximum(
+        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    full = np.zeros((total, DIM), np.float32)
+    full[:n] = rows
+    want_bf16 = jnp.asarray(full).astype(jnp.bfloat16)
+    want_packed, want_scales = search_lib.pack_rows_int4(
+        jnp.asarray(full))
+    got_packed, got_scales = view._dev_int4
+    np.testing.assert_array_equal(
+        np.asarray(view.dev_vectors, np.float32),
+        np.asarray(want_bf16, np.float32))
+    np.testing.assert_array_equal(np.asarray(got_packed),
+                                  np.asarray(want_packed))
+    np.testing.assert_allclose(np.asarray(got_scales),
+                               np.asarray(want_scales), rtol=1e-6)
