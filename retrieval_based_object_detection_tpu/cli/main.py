@@ -167,7 +167,8 @@ def cmd_store(args) -> int:
     if args.action == "rename" and not args.new_name:
         print("error: 'store rename' requires --new-name", file=sys.stderr)
         return 2
-    if (args.action in ("rename", "delete", "count", "maintain")
+    if (args.action in ("rename", "delete", "count", "maintain",
+                    "warm")
             and args.name and args.name not in store):
         print(f"error: no such collection: {args.name!r}", file=sys.stderr)
         return 1
@@ -227,6 +228,19 @@ def cmd_store(args) -> int:
             print(f"{n}\t{reclaimed} rows reclaimed")
         if total and not remote:
             _store_save(store, args.store)
+    elif args.action == "warm":
+        # Server-side Gallery.warm (post-bulk-ingest, pre-cutover);
+        # only meaningful against a RUNNING server — a CLI-local warm
+        # would build device state in a process about to exit.
+        if not _is_remote(args.store):
+            print("error: 'store warm' targets a running server "
+                  "(--store http://…); for startup warming use "
+                  "`rbod gallery-server --warm`", file=sys.stderr)
+            return 2
+        names = ([args.name] if args.name
+                 else [n for n, _ in store.list_collections()])
+        for n in names:
+            print(f"{n}\t{store.get(n).warm():.1f}s")
     return 0
 
 
@@ -1132,7 +1146,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = add("store", cmd_store, help="collection admin (02/util)")
     sp.add_argument("action", choices=("list", "create", "rename", "delete",
-                                       "delete-all", "count", "maintain"))
+                                       "delete-all", "count", "maintain", "warm"))
     sp.add_argument("--store", default="gallery_store")
     sp.add_argument("--name")
     sp.add_argument("--new-name")

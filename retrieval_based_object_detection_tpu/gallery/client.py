@@ -250,6 +250,12 @@ class GalleryClient:
         return int(_request("POST", self._url("/maintain"),
                             {"force": bool(force)})["reclaimed"])
 
+    def warm(self) -> float:
+        """Server-side Gallery.warm: pre-build the serving tier after a
+        bulk ingest, before cutting traffic over. Returns seconds the
+        server spent."""
+        return float(_request("POST", self._url("/warm"), {})["seconds"])
+
     def search(self, queries, k: int = 10, flt: Filter | None = None,
                exact: bool = True, with_vectors: bool = False,
                method: str | None = None) -> list[list[Record]]:

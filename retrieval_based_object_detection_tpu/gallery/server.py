@@ -166,6 +166,14 @@ class GalleryService:
                 self._save(self.store, self.root)
             return {"reclaimed": reclaimed}
 
+    def warm(self, name: str, body: dict):
+        """On-demand Gallery.warm for one collection — after a remote
+        bulk ingest (`rbod embed --store http://…`), call this before
+        cutting traffic over so the first client search doesn't pay the
+        device view build (startup-time warming is --warm)."""
+        with self.lock:
+            return {"seconds": round(self.store.get(name).warm(), 3)}
+
     def upsert(self, name: str, body: dict):
         missing = [k for k in ("ids", "vectors", "payloads")
                    if k not in body]
@@ -336,6 +344,8 @@ def make_handler(svc: GalleryService):
                         return self._json(svc.count(name, body))
                     if op == "maintain" and method == "POST":
                         return self._json(svc.maintain(name, body))
+                    if op == "warm" and method == "POST":
+                        return self._json(svc.warm(name, body))
                     if op == "points" and method == "POST":
                         return self._json(svc.upsert(name, body))
                 if len(parts) == 4 and parts[0] == "collections" \

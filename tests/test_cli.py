@@ -150,3 +150,43 @@ def test_store_maintain_missing_name_clean_error(tmp_path, capsys):
     assert main(["store", "maintain", "--store", str(tmp_path),
                  "--name", "typo"]) == 1
     assert "no such collection" in capsys.readouterr().err
+
+
+def test_store_warm_cli(tmp_path, rng, capsys):
+    """`rbod store warm --store http://…` warms server-side; a local
+    path gets the actionable error (warming a CLI-local copy would
+    build device state in a process about to exit)."""
+    import threading
+
+    import numpy as np
+
+    from retrieval_based_object_detection_tpu.cli.main import main
+    from retrieval_based_object_detection_tpu.gallery import (
+        persist,
+        server as GS,
+    )
+    from retrieval_based_object_detection_tpu.gallery.schema import Payload
+    from retrieval_based_object_detection_tpu.gallery.store import (
+        VectorStore,
+    )
+
+    store = VectorStore()
+    g = store.create_collection("w", dim=8)
+    g.upsert([f"p{i}" for i in range(6)],
+             rng.normal(size=(6, 8)).astype(np.float32),
+             [Payload(data_type="original_images", class_name="c",
+                      img_path=f"/w/{i}.png") for i in range(6)])
+    persist.save_store(store, tmp_path / "store")
+    assert main(["store", "warm", "--store", str(tmp_path / "store")]) == 2
+    assert "gallery-server --warm" in capsys.readouterr().err
+    srv = GS.serve(tmp_path / "store", host="127.0.0.1", port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        assert main(["store", "warm", "--store", base, "--name", "w"]) == 0
+        out = capsys.readouterr().out
+        assert out.startswith("w\t") and out.rstrip().endswith("s")
+        g2 = srv.service.store.get("w")
+        assert g2._dev_f32 is not None  # server-side state really built
+    finally:
+        srv.shutdown()

@@ -312,3 +312,16 @@ def test_client_refuses_neg_filters_against_old_server(service, rng,
         gc_old.count(Filter(must_not=(("class_name", "a"),)))
     # must-only filters keep working against the old server.
     assert gc_old.count(Filter(must={"class_name": "b"})) == n
+
+
+def test_client_warm_endpoint(service, rng):
+    """POST /collections/<n>/warm: server-side Gallery.warm on demand
+    (post-bulk-ingest, pre-cutover)."""
+    store = RemoteVectorStore(service)
+    g = store.create_collection("wm", dim=8)
+    g.upsert([f"p{i}" for i in range(10)],
+             rng.normal(size=(10, 8)).astype(np.float32),
+             [Payload(data_type="original_images", class_name="c",
+                      img_path=f"/w/{i}.png") for i in range(10)])
+    secs = GalleryClient(service, "wm").warm()
+    assert secs >= 0.0
