@@ -126,10 +126,25 @@ class GalleryClient:
             if self._neg_filters_ok is None:
                 try:
                     out = _request("GET", f"{self.base}/healthz")
+                except GalleryServiceError:
+                    # The server ANSWERED but has no /healthz (pre-probe
+                    # version): definitively incapable — cache False.
+                    self._neg_filters_ok = False
+                except Exception:
+                    # Transport blip (timeout, connection reset): the
+                    # server's capability is UNKNOWN, not absent. Refuse
+                    # this call but leave the probe un-cached so the next
+                    # call re-probes — a long-lived client must not
+                    # reject must_not/should forever because one healthz
+                    # round-trip failed (ADVICE r4).
+                    raise GalleryServiceError(
+                        503,
+                        "could not probe filter-clause support (GET "
+                        "/healthz unreachable); retry when the gallery "
+                        "server is reachable")
+                else:
                     self._neg_filters_ok = "must_not" in (
                         out.get("filters") or ())
-                except Exception:
-                    self._neg_filters_ok = False
             if not self._neg_filters_ok:
                 raise GalleryServiceError(
                     400,

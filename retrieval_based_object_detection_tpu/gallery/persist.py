@@ -105,6 +105,31 @@ def _delta_paths(name: str, root: Path) -> list[tuple[int, Path]]:
     return sorted(out)
 
 
+def _manifest_update_count(root: Path, name: str, count: int) -> None:
+    """Refresh one collection's live count in manifest.json (atomic
+    rewrite); no-op when no manifest exists yet — save_store creates it
+    with the full name list, this only keeps counts fresh in between."""
+    manifest = root / "manifest.json"
+    if not manifest.exists():
+        return
+    try:
+        with open(manifest) as f:
+            data = json.load(f)
+    except Exception:
+        return  # corrupt manifest: the next save_store rewrites it
+    counts = data.get("counts") or {}
+    if counts.get(name) == count:
+        return
+    counts[name] = count
+    data["counts"] = counts
+    tmp = root / ".manifest.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, manifest)
+
+
 def save_gallery(gallery: Gallery, root: str | Path,
                  incremental: bool = True) -> None:
     """Snapshot one collection.
@@ -167,6 +192,11 @@ def save_gallery(gallery: Gallery, root: str | Path,
         gallery._snap_dirty.clear()
         gallery._snap_deleted.clear()
         gallery._snap_dead_rows.clear()
+        # A delta leaves the base header's row count stale; header-only
+        # listings read the live count from the manifest, so a DIRECT
+        # save_gallery (not via save_store, which rewrites the manifest
+        # wholesale) must refresh its own entry (ADVICE r4).
+        _manifest_update_count(root, gallery.name, len(gallery))
         return
 
     # Full base rewrite (also collapses any existing delta chain).

@@ -31,6 +31,14 @@ def initialize(coordinator_address: str | None = None,
 
     if coordinator_address is None and num_processes is None:
         return  # single-process run
+    # State check first (version-stable): jax.distributed keeps its
+    # client in module-global state once initialised. The RuntimeError
+    # message match below stays only as a fallback for jax versions
+    # where this attribute moves (ADVICE r4: string-matching alone
+    # turns a benign re-init into a crash when the wording changes).
+    state = getattr(jax.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        return  # already initialised
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

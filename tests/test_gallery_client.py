@@ -314,6 +314,39 @@ def test_client_refuses_neg_filters_against_old_server(service, rng,
     assert gc_old.count(Filter(must={"class_name": "b"})) == n
 
 
+def test_transport_blip_does_not_cache_probe_result(service, rng,
+                                                    monkeypatch):
+    """A TRANSIENT healthz failure (timeout, reset) must not brand the
+    server incapable forever: the call fails with a retryable 503 and
+    the next call re-probes (ADVICE r4). Only a definitive answer — a
+    healthz response, or an HTTP error proving no /healthz route —
+    caches."""
+    from retrieval_based_object_detection_tpu.gallery import client as C
+
+    store = RemoteVectorStore(service)
+    store.create_collection("tb", dim=8)
+    gc = C.GalleryClient(service, "tb")
+    gc.upsert(["a", "b"], rng.normal(size=(2, 8)).astype(np.float32),
+              [Payload(data_type="original_images", class_name=c,
+                       img_path=f"/t/{c}.png") for c in "ab"])
+    orig = C._request
+
+    def flaky_healthz(method, url, body=None, **kw):
+        if url.endswith("/healthz"):
+            raise ConnectionError("reset by peer")
+        return orig(method, url, body, **kw)
+
+    monkeypatch.setattr(C, "_request", flaky_healthz)
+    flt = Filter(must_not=(("class_name", "a"),))
+    with pytest.raises(C.GalleryServiceError) as ei:
+        gc.count(flt)
+    assert ei.value.status == 503
+    assert gc._neg_filters_ok is None  # NOT cached as False
+    # Transport recovers: the same client object now succeeds.
+    monkeypatch.setattr(C, "_request", orig)
+    assert gc.count(flt) == 1
+
+
 def test_client_warm_endpoint(service, rng):
     """POST /collections/<n>/warm: server-side Gallery.warm on demand
     (post-bulk-ingest, pre-cutover)."""

@@ -367,3 +367,19 @@ def test_fast_replay_rearms_deferred_compaction(rng, tmp_path,
     assert g2._n_dead == 1200 and g2._compact_due
     assert g2.maintain() == 1200              # non-force window reclaims
     assert len(g2) == 2800
+
+
+def test_direct_save_gallery_refreshes_manifest_count(rng, tmp_path):
+    """A delta written via save_gallery DIRECTLY (not save_store) must
+    keep list_snapshots' live count fresh — the manifest carries counts
+    precisely because delta saves leave the base header stale
+    (ADVICE r4)."""
+    store = VectorStore()
+    g = store.create_collection("mc", dim=DIM)
+    ids, vecs, pls = _mk(rng, 100)
+    g.upsert(ids, vecs, pls)
+    persist.save_store(store, tmp_path)  # base + manifest at count 100
+    ids2, vecs2, pls2 = _mk(rng, 7, start=100)
+    g.upsert(ids2, vecs2, pls2)
+    persist.save_gallery(g, tmp_path)  # delta, bypassing save_store
+    assert dict(persist.list_snapshots(tmp_path))["mc"] == 107
