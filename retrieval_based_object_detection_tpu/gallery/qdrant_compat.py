@@ -311,18 +311,14 @@ def make_qdrant_handler(svc):
             body = self._body()
             if "ids" not in body:
                 raise _Bad('missing "ids"')
-            with svc.lock:
-                g = svc.store.get(name)
-                recs = g.retrieve([str(i) for i in body["ids"]],
-                                  with_vectors=bool(
-                                      body.get("with_vector", False)))
+            out = svc.retrieve(name, {
+                "ids": body["ids"],
+                "with_vectors": bool(body.get("with_vector", False))})
             self._send([
-                _point_out({"id": r.id, "payload": r.payload.to_dict(),
-                            "vector": (r.vector.tolist()
-                                       if r.vector is not None else None)},
+                _point_out({"vector": None, **p},
                            bool(body.get("with_payload", True)),
                            bool(body.get("with_vector", False)))
-                for r in recs])
+                for p in out["points"]])
 
         def _post_points_scroll(self, name):
             body = self._body()

@@ -20,6 +20,7 @@ boolean row mask and the device does one masked matmul + top_k
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Iterable, Sequence
@@ -234,21 +235,39 @@ class Gallery:
         self._resolved_dups: dict[str, list[int]] = {}
         self._resolved_dirty: set[int] = set()     # rows to re-index
         self._resolved_hi = 0                      # rows [0, hi) indexed
+        # Guards LAZY builds under concurrent READERS: device-mirror /
+        # view builds and syncs, pending-op replays, and the id/id-map
+        # materialisations. The gallery service (gallery/server.py) runs
+        # searches/scrolls concurrently under a per-collection read lock
+        # — writes stay exclusive there, so this mutex only has to make
+        # read-vs-read safe: without it, two first searches would both
+        # replay the same pending ops (double-apply) or double-build a
+        # multi-GB mirror. Reentrant: the build paths nest (_id_to_row →
+        # _ids, capacity-view rebuild recursion).
+        self._view_mut = threading.RLock()
 
     # ------------------------------------------------------------ ids
     @property
     def _ids(self) -> list[str]:
         if self._ids_list is None:
-            arr = self._ids_arr
-            self._ids_arr = None
-            # numpy 'S' access strips the trailing NUL padding. GC
-            # paused: allocating 10M str objects triggers repeated
-            # full collections that dominate the build (the deferred
-            # first-id-op after a 10M restart measured 40.8 s with GC,
-            # ~4x less without; nothing here creates cycles).
-            with _gc_paused():
-                self._ids_list = ([b.decode("utf-8") for b in arr.tolist()]
-                                  if arr is not None else [])
+            with self._view_mut:
+                if self._ids_list is not None:  # lost the build race
+                    return self._ids_list
+                arr = self._ids_arr
+                # numpy 'S' access strips the trailing NUL padding. GC
+                # paused: allocating 10M str objects triggers repeated
+                # full collections that dominate the build (the deferred
+                # first-id-op after a 10M restart measured 40.8 s with
+                # GC, ~4x less without; nothing here creates cycles).
+                with _gc_paused():
+                    built = ([b.decode("utf-8") for b in arr.tolist()]
+                             if arr is not None else [])
+                # Publish the list BEFORE dropping the raw table:
+                # concurrent _id_at readers see one or the other, never
+                # neither (the old take-then-null order made a losing
+                # racer build an EMPTY id list).
+                self._ids_list = built
+                self._ids_arr = None
         return self._ids_list
 
     @_ids.setter
@@ -260,10 +279,16 @@ class Gallery:
 
     def _id_at(self, row: int) -> str:
         """One row's id without materialising the full str list (search
-        and retrieve RESULTS decode only the rows they return)."""
-        if self._ids_list is not None:
-            return self._ids_list[row]
-        return self._ids_arr[row].decode("utf-8")
+        and retrieve RESULTS decode only the rows they return). Local
+        snapshots: a concurrent reader may materialise the list and null
+        the raw table between our two attribute reads."""
+        lst = self._ids_list
+        if lst is not None:
+            return lst[row]
+        arr = self._ids_arr
+        if arr is None:  # materialised between the checks — re-read
+            return self._ids[row]
+        return arr[row].decode("utf-8")
 
     def _row_of(self, pid: str) -> int | None:
         """Read-only id -> live row lookup. Prefers the materialised
@@ -279,9 +304,12 @@ class Gallery:
             return self._id_to_row.get(pid)
         if self._ids_sorted is None or \
                 len(self._ids_sorted) != len(arr):
-            order = np.argsort(arr, kind="stable")
-            self._ids_order = order
-            self._ids_sorted = arr[order]
+            with self._view_mut:
+                if self._ids_sorted is None or \
+                        len(self._ids_sorted) != len(arr):
+                    order = np.argsort(arr, kind="stable")
+                    self._ids_order = order
+                    self._ids_sorted = arr[order]
         b = pid.encode("utf-8")
         if len(b) > arr.dtype.itemsize:
             return None
@@ -295,6 +323,13 @@ class Gallery:
 
     @property
     def _id_to_row(self) -> dict[str, int]:
+        if self._id_map is None:
+            with self._view_mut:
+                return self._build_id_map()
+        return self._id_map
+
+    def _build_id_map(self) -> dict[str, int]:
+        # Body of the lazy _id_to_row build, under _view_mut.
         if self._id_map is None:
             with _gc_paused():
                 ids = self._ids
@@ -779,21 +814,25 @@ class Gallery:
             self._resolved_hi = 0
 
     def _resolved_row(self, img_path: str) -> int | None:
-        """Resolved-path fallback index (lazy; patched incrementally)."""
-        n = self._nrows
-        if self._resolved_paths is None:
-            self._resolved_paths = {}
-            self._resolved_back = {}
-            self._resolved_dups = {}
-            self._resolved_dirty = set()
-            self._resolved_hi = 0
-        if self._resolved_dirty:
-            self._index_resolved_rows(sorted(self._resolved_dirty))
-            self._resolved_dirty.clear()
-        if self._resolved_hi < n:
-            self._index_resolved_rows(range(self._resolved_hi, n))
-            self._resolved_hi = n
-        return self._resolved_paths.get(self._resolve_key(img_path))
+        """Resolved-path fallback index (lazy; patched incrementally).
+        Under ``_view_mut``: this READ path builds/patches the index, so
+        two concurrent get_by_path calls would otherwise double-index
+        rows (duplicate dup-list entries that survive deletes)."""
+        with self._view_mut:
+            n = self._nrows
+            if self._resolved_paths is None:
+                self._resolved_paths = {}
+                self._resolved_back = {}
+                self._resolved_dups = {}
+                self._resolved_dirty = set()
+                self._resolved_hi = 0
+            if self._resolved_dirty:
+                self._index_resolved_rows(sorted(self._resolved_dirty))
+                self._resolved_dirty.clear()
+            if self._resolved_hi < n:
+                self._index_resolved_rows(range(self._resolved_hi, n))
+                self._resolved_hi = n
+            return self._resolved_paths.get(self._resolve_key(img_path))
 
     def scroll(
         self,
@@ -940,6 +979,15 @@ class Gallery:
 
     def _sync_mirrors(self, f32: bool = False, bf16: bool = False,
                       i8: bool = False) -> None:
+        # Concurrent readers (service read lock) may race into the lazy
+        # build; one builds, the rest wait — double-building a multi-GB
+        # f32 mirror would transiently double HBM. Steady-state this is
+        # an uncontended ~µs acquire.
+        with self._view_mut:
+            self._sync_mirrors_locked(f32=f32, bf16=bf16, i8=i8)
+
+    def _sync_mirrors_locked(self, f32: bool = False, bf16: bool = False,
+                             i8: bool = False) -> None:
         n = self._nrows
         if search_lib.pad_rows(n) > self._padded:
             # Grow geometrically so interleaved write/query patterns pay
@@ -1017,14 +1065,18 @@ class Gallery:
         cached = self._mask_cache.get(key)
         if cached is not None:
             return cached
-        n = self._nrows
-        buf = np.zeros(self._padded, dtype=bool)
-        buf[:n] = self._mask_live(flt)  # tombstoned rows masked out
-        mask = jnp.asarray(buf)
-        if len(self._mask_cache) >= 128:
-            self._mask_cache.clear()
-        self._mask_cache[key] = mask
-        return mask
+        with self._view_mut:  # single build per filter across readers
+            cached = self._mask_cache.get(key)
+            if cached is not None:
+                return cached
+            n = self._nrows
+            buf = np.zeros(self._padded, dtype=bool)
+            buf[:n] = self._mask_live(flt)  # tombstoned rows masked out
+            mask = jnp.asarray(buf)
+            if len(self._mask_cache) >= 128:
+                self._mask_cache.clear()
+            self._mask_cache[key] = mask
+            return mask
 
     # Above this row count a serving (exact=False) search auto-routes to
     # the int8 Pallas scan on TPU — below it the bf16 matmul wins on
@@ -1039,11 +1091,17 @@ class Gallery:
 
     def _ensure_capacity_view(self):
         """Build (or incrementally sync) the writable capacity view from
-        the pending-op log — small writes patch tiles, never rebuild."""
+        the pending-op log — small writes patch tiles, never rebuild.
+        Serialised under ``_view_mut``: two concurrent first searches
+        must not both replay (and clear) the same pending ops."""
         from retrieval_based_object_detection_tpu.gallery.capacity import (
             CapacitySearcher,
         )
 
+        with self._view_mut:
+            return self._ensure_capacity_view_locked(CapacitySearcher)
+
+    def _ensure_capacity_view_locked(self, CapacitySearcher):
         n = self._nrows
         if self._cap_view is None:
             self._cap_view = CapacitySearcher(
@@ -1108,9 +1166,15 @@ class Gallery:
     def _ensure_shard_view(self):
         """Build (or incrementally sync) the writable sharded view from
         the pending-op log — small writes patch sharded tiles, never
-        rebuild (the capacity-tier treatment, applied to multi-chip)."""
+        rebuild (the capacity-tier treatment, applied to multi-chip).
+        Serialised under ``_view_mut`` (same reason as the capacity
+        view: replay-and-clear must be atomic across readers)."""
         from retrieval_based_object_detection_tpu.gallery import sharded
 
+        with self._view_mut:
+            return self._ensure_shard_view_locked(sharded)
+
+    def _ensure_shard_view_locked(self, sharded):
         if self._gallery_mesh is None:
             raise ValueError(
                 "no gallery mesh attached — call attach_mesh(mesh) "
@@ -1159,15 +1223,19 @@ class Gallery:
         cached = self._shard_mask_cache.get(key)
         if cached is not None and cached.shape[0] == total:
             return cached
-        buf = np.zeros(total, dtype=bool)
-        m = self._payloads.mask(flt)
-        buf[: len(m)] = m
-        mask = _jax.device_put(
-            buf, NamedSharding(self._gallery_mesh, P(sharded.AXIS)))
-        if len(self._shard_mask_cache) >= 64:
-            self._shard_mask_cache.clear()
-        self._shard_mask_cache[key] = mask
-        return mask
+        with self._view_mut:
+            cached = self._shard_mask_cache.get(key)
+            if cached is not None and cached.shape[0] == total:
+                return cached
+            buf = np.zeros(total, dtype=bool)
+            m = self._payloads.mask(flt)
+            buf[: len(m)] = m
+            mask = _jax.device_put(
+                buf, NamedSharding(self._gallery_mesh, P(sharded.AXIS)))
+            if len(self._shard_mask_cache) >= 64:
+                self._shard_mask_cache.clear()
+            self._shard_mask_cache[key] = mask
+            return mask
 
     def _rows_to_records(self, scores, idx, k_eff: int,
                          with_vectors: bool) -> list[list[Record]]:
@@ -1239,14 +1307,18 @@ class Gallery:
         cached = self._cap_mask_cache.get(key)
         if cached is not None and cached.shape[0] == view._padded:
             return cached
-        buf = np.zeros(view._padded, dtype=bool)
-        m = self._payloads.mask(flt)
-        buf[: len(m)] = m
-        mask = jnp.asarray(buf)
-        if len(self._cap_mask_cache) >= 64:
-            self._cap_mask_cache.clear()
-        self._cap_mask_cache[key] = mask
-        return mask
+        with self._view_mut:
+            cached = self._cap_mask_cache.get(key)
+            if cached is not None and cached.shape[0] == view._padded:
+                return cached
+            buf = np.zeros(view._padded, dtype=bool)
+            m = self._payloads.mask(flt)
+            buf[: len(m)] = m
+            mask = jnp.asarray(buf)
+            if len(self._cap_mask_cache) >= 64:
+                self._cap_mask_cache.clear()
+            self._cap_mask_cache[key] = mask
+            return mask
 
     def _capacity_search(self, queries: np.ndarray, k: int,
                          flt: Filter | None,
@@ -1365,8 +1437,11 @@ class Gallery:
             from retrieval_based_object_detection_tpu.utils import platform
 
             if self._dev_int4 is None:
-                # Packed on-device from the (already patched) f32 mirror.
-                self._dev_int4 = _pack_int4(self._dev_f32)
+                with self._view_mut:
+                    if self._dev_int4 is None:
+                        # Packed on-device from the (already patched)
+                        # f32 mirror.
+                        self._dev_int4 = _pack_int4(self._dev_f32)
             packed, scales = self._dev_int4
             if platform.is_tpu():
                 scores, idx = search_lib.int4_scan_topk(
@@ -1383,9 +1458,11 @@ class Gallery:
             from retrieval_based_object_detection_tpu.utils import platform
 
             if self._dev_int8 is None:
-                # Derived on-device from the (already patched) f32
-                # mirror — no host pass, no upload.
-                self._dev_int8 = _quantize_int8(self._dev_f32)
+                with self._view_mut:
+                    if self._dev_int8 is None:
+                        # Derived on-device from the (already patched)
+                        # f32 mirror — no host pass, no upload.
+                        self._dev_int8 = _quantize_int8(self._dev_f32)
             if platform.is_tpu():
                 scores, idx = search_lib.int8_scan_topk(
                     jnp.asarray(queries), self._dev_int8, self._dev_f32,
