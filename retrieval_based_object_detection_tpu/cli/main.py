@@ -244,6 +244,18 @@ def cmd_store(args) -> int:
     return 0
 
 
+def _max_objects(s: str) -> int | None:
+    """--max-objects value: a positive int, or 'a' = all boxes above the
+    conf gate (the reference's unlimited input, 11_dataset_labeling.py:
+    84-93 — 'a' maps max_object_count to None)."""
+    if s.strip().lower() == "a":
+        return None
+    n = int(s)
+    if n <= 0:
+        raise ValueError("must be a positive integer or 'a'")
+    return n
+
+
 def _load_tinydet(checkpoint: str, conf_threshold: float):
     """TinyDetDetector from a `rbod fit-detector` output dir."""
     import json
@@ -1161,7 +1173,9 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=("original", "natural"))
     sp.add_argument("--classes", nargs="*", default=None)
     sp.add_argument("--conf", type=float, default=0.25)
-    sp.add_argument("--max-objects", type=int, default=1)
+    sp.add_argument("--max-objects", type=_max_objects, default=1,
+                    help="top-K boxes per image; 'a' = all above --conf "
+                         "(the reference's 'a' input, 11:84-93)")
     sp.add_argument("--overwrite", action="store_true")
     sp.add_argument("--show-missing", action="store_true")
     sp.add_argument("--detector", choices=("saliency", "tinydet"),

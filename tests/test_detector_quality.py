@@ -82,7 +82,7 @@ def test_two_object_scene_yields_two_boxes(proposer):
     _paint_shape(img, rng, 120, 85, 45, 40, (180, 30, 30))
     _paint_shape(img, rng, 120, 240, 45, 40, (30, 30, 180))
     boxes, conf = proposer(img[None].astype(np.uint8))
-    assert boxes.shape == (1, 2, 4) and conf.shape == (1, 2)
+    assert boxes.shape == (1, 4, 4) and conf.shape == (1, 4)
     assert conf[0, 0] >= conf[0, 1] > 0.2
     gts = [np.array([45, 75, 125, 165]), np.array([200, 75, 280, 165])]
     pair = [max(iou(np.asarray(boxes[0, k]), gt) for gt in gts)
