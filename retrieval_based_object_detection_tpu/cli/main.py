@@ -638,6 +638,39 @@ def cmd_gallery_server(args) -> int:
     return 0
 
 
+def cmd_gallery_router(args) -> int:
+    """Shard router: one endpoint over N gallery-server shards (the DCN
+    scale-out tier, gallery/router.py). Stateless — snapshots happen per
+    shard; shutdown broadcasts a final /snapshot to every shard."""
+    from retrieval_based_object_detection_tpu.gallery.router import (
+        serve_router,
+    )
+
+    srv = serve_router(args.shards, host=args.host, port=args.port,
+                       api=args.api)
+    print(f"gallery router on http://{args.host}:{srv.server_address[1]} "
+          f"({len(args.shards)} shards: {', '.join(args.shards)}, "
+          f"api: {args.api})")
+    import signal
+
+    def _sigterm(*_):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        try:
+            srv.service.snapshot()
+            print("broadcast snapshot on shutdown")
+        except Exception as e:  # noqa: BLE001 — shards may already be down
+            print(f"shutdown snapshot broadcast failed: {e}",
+                  file=sys.stderr)
+    return 0
+
+
 def cmd_convert_weights(args) -> int:
     """Convert a torch checkpoint (OpenAI CLIP / HF CLIPVision / SAM) to a
     fast-loading orbax directory."""
@@ -1324,6 +1357,21 @@ def build_parser() -> argparse.ArgumentParser:
                          "background thread at startup — the first "
                          "client query otherwise pays the device view "
                          "build (minutes at 10M rows)")
+
+    sp = add("gallery-router", cmd_gallery_router,
+             help="shard router over N gallery-servers (multi-host "
+                  "gallery behind one endpoint)")
+    sp.add_argument("--shards", nargs="+", required=True,
+                    metavar="URL",
+                    help="shard base URLs, e.g. http://host1:6333 "
+                         "http://host2:6333 — id-hash write routing, "
+                         "fan-out/merge reads, per-shard snapshots")
+    sp.add_argument("--host", default="0.0.0.0")
+    sp.add_argument("--port", type=int, default=6334)
+    sp.add_argument("--api", choices=["native", "qdrant"],
+                    default="native",
+                    help="'qdrant' serves the Qdrant wire facade over "
+                         "the sharded topology")
 
     sp = add("convert-weights", cmd_convert_weights,
              help="torch checkpoint -> orbax dir (clip or sam)")

@@ -226,6 +226,12 @@ class GalleryClient:
             records.extend(page)
         return records
 
+    def retrieve(self, ids: Sequence[str], with_vectors: bool = True
+                 ) -> list[Record]:
+        out = _request("POST", self._url("/points/retrieve"),
+                       {"ids": list(ids), "with_vectors": with_vectors})
+        return [self._record(p) for p in out["points"]]
+
     def get_by_path(self, img_path: str, with_vectors: bool = True
                     ) -> Record | None:
         # The dedicated route goes through Gallery.get_by_path

@@ -18,6 +18,7 @@ operation set over a minimal JSON/HTTP API:
           than JSON float lists for bulk ingest; see gallery/client.py)
   POST   /collections/<name>/points/scroll    {filter?, limit?, offset?,
                                                with_vectors?}
+  POST   /collections/<name>/points/retrieve  {ids, with_vectors?}
   POST   /collections/<name>/points/search    {queries, k?, filter?, method?}
   POST   /collections/<name>/points/delete    {ids?, filter?}
   POST   /snapshot                            persist all collections
@@ -443,6 +444,8 @@ def make_handler(svc: GalleryService):
                     name, op = parts[1], parts[3]
                     if op == "scroll":
                         return self._json(svc.scroll(name, body))
+                    if op == "retrieve":
+                        return self._json(svc.retrieve(name, body))
                     if op == "search":
                         return self._json(svc.search(name, body))
                     if op == "by-path":
