@@ -291,10 +291,36 @@ def cmd_label(args) -> int:
                   " (run `rbod fit-detector` first)", file=sys.stderr)
             return 2
         detector = _load_tinydet(args.detector_checkpoint, args.conf)
+    elif args.detector == "yolo":
+        # The reference's own model family (11_dataset_labeling.py:10,
+        # 96-99): official yolov8*.pt weights, converted on load. A
+        # --detector-checkpoint path wins (the reference keeps it at
+        # model/yolov8s.pt); otherwise the variant is fetched into
+        # model/ exactly once.
+        from retrieval_based_object_detection_tpu.models.yolo import (
+            YoloDetector,
+        )
+        from retrieval_based_object_detection_tpu.models.yolo.download import (
+            CheckpointUnavailable,
+        )
+
+        kw = dict(conf_threshold=args.conf, image_size=args.det_size,
+                  max_det=(args.max_objects or 16))
+        try:
+            if args.detector_checkpoint:
+                detector = YoloDetector.from_checkpoint(
+                    args.detector_checkpoint, **kw)
+            else:
+                detector = YoloDetector.from_variant(args.yolo_variant,
+                                                     **kw)
+        except CheckpointUnavailable as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     elif args.detector_checkpoint:
         print("[rbod] WARNING: --detector-checkpoint given but --detector "
               f"is {args.detector!r} — the checkpoint is IGNORED (pass "
-              "--detector tinydet to use it)", file=sys.stderr)
+              "--detector tinydet or --detector yolo to use it)",
+              file=sys.stderr)
     # Letterbox at the detector's TRAINED resolution: a tinydet fit at
     # --image-size 512 decodes (and clips) boxes in a 512px frame — a
     # hardwired 256 canvas would run it at half scale with boxes
@@ -1211,10 +1237,20 @@ def build_parser() -> argparse.ArgumentParser:
                          "(the reference's 'a' input, 11:84-93)")
     sp.add_argument("--overwrite", action="store_true")
     sp.add_argument("--show-missing", action="store_true")
-    sp.add_argument("--detector", choices=("saliency", "tinydet"),
-                    default="saliency")
+    sp.add_argument("--detector",
+                    choices=("saliency", "tinydet", "yolo"),
+                    default="saliency",
+                    help="yolo = official YOLOv8 weights (the "
+                         "reference's model, 11:10) converted to JAX")
     sp.add_argument("--detector-checkpoint",
-                    help="dir from `rbod fit-detector`")
+                    help="dir from `rbod fit-detector` (tinydet) or a "
+                         ".pt file (yolo, e.g. model/yolov8s.pt)")
+    sp.add_argument("--yolo-variant", default="yolov8s",
+                    help="official variant to auto-download when "
+                         "--detector yolo has no --detector-checkpoint")
+    sp.add_argument("--det-size", type=int, default=640,
+                    help="detector letterbox size (yolo; must be "
+                         "divisible by 32)")
 
     sp = add("review", cmd_review, help="label review session (12)")
     sp.add_argument("command", choices=("status", "render", "select",
