@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 from pathlib import Path
 
 
@@ -168,7 +169,7 @@ def cmd_store(args) -> int:
         print("error: 'store rename' requires --new-name", file=sys.stderr)
         return 2
     if (args.action in ("rename", "delete", "count", "maintain",
-                    "warm")
+                    "warm", "save-planes")
             and args.name and args.name not in store):
         print(f"error: no such collection: {args.name!r}", file=sys.stderr)
         return 1
@@ -241,6 +242,35 @@ def cmd_store(args) -> int:
                  else [n for n, _ in store.list_collections()])
         for n in names:
             print(f"{n}\t{store.get(n).warm():.1f}s")
+    elif args.action == "save-planes":
+        # Capacity-plane sidecar (gallery/planes.py): pre-quantise the
+        # serving planes next to the snapshot so the NEXT restart's
+        # first capacity search streams them straight to device
+        # instead of re-deriving from f32 rows. Local-store operation
+        # (pure host CPU+disk); run after a save / before a cutover.
+        if _is_remote(args.store):
+            print("error: 'store save-planes' writes next to a LOCAL "
+                  "snapshot directory (the server saves on shutdown); "
+                  "point --store at the snapshot dir", file=sys.stderr)
+            return 2
+        from retrieval_based_object_detection_tpu.gallery.persist import (
+            save_capacity_planes,
+        )
+
+        names = ([args.name] if args.name
+                 else [n for n, _ in store.list_collections()])
+        _store_save(store, args.store)  # sidecars key on a saved state
+        for n in names:
+            g = store.get(n)
+            if g.distance != "cosine" or g.dim % 2:
+                print(f"{n}\tskipped (capacity tier serves cosine, "
+                      f"even-dim collections)")
+                continue
+            t0 = time.perf_counter()
+            path = save_capacity_planes(g, args.store)
+            size = os.path.getsize(path) / 2**20
+            print(f"{n}\t{path.name}\t{size:.1f} MB\t"
+                  f"{time.perf_counter() - t0:.1f}s")
     return 0
 
 
@@ -1217,7 +1247,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = add("store", cmd_store, help="collection admin (02/util)")
     sp.add_argument("action", choices=("list", "create", "rename", "delete",
-                                       "delete-all", "count", "maintain", "warm"))
+                                       "delete-all", "count", "maintain",
+                                       "warm", "save-planes"))
     sp.add_argument("--store", default="gallery_store")
     sp.add_argument("--name")
     sp.add_argument("--new-name")

@@ -58,6 +58,17 @@ def _fill_chunk(bf16, packed, scales, staged, start):
 _TILE = 4096
 
 
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _patch_planes_chunk(bf16, packed, scales, s_b, s_p, s_s, start):
+    """Patch one pre-quantised chunk into the three capacity buffers —
+    the sidecar-restore twin of ``_fill_chunk`` (no normalise/pack: the
+    planes were computed host-side at save time, gallery/planes.py)."""
+    bf16 = jax.lax.dynamic_update_slice(bf16, s_b, (start, 0))
+    packed = jax.lax.dynamic_update_slice(packed, s_p, (start, 0))
+    scales = jax.lax.dynamic_update_slice(scales, s_s, (start,))
+    return bf16, packed, scales
+
+
 @partial(jax.jit, static_argnames=("tile",))
 def _read_tile(bf16, start, tile=_TILE):
     return jax.lax.dynamic_slice(
@@ -159,6 +170,54 @@ class CapacitySearcher:
         obj.ids = ids
         obj._id_to_row = None
         return obj
+
+    @classmethod
+    def from_host_planes(cls, bf16_rows: np.ndarray,
+                         packed_rows: np.ndarray,
+                         scales_rows: np.ndarray,
+                         mask: np.ndarray, n_rows: int,
+                         ids: list[str] | None = None,
+                         headroom: int = 0,
+                         chunk: int = _CHUNK) -> "CapacitySearcher":
+        """Build the view from ALREADY-QUANTISED host planes (a
+        ``gallery/planes.py`` sidecar) — the restart fast path: 2.5·N·D
+        bytes uploaded, zero device quantisation. Inputs may be
+        read-only memmaps; the chunked fill stages fixed-shape buffers
+        so peak host RAM stays one chunk. Layout/padding matches the
+        f32 constructor (chunk-multiple rows, zero tail)."""
+        d = int(bf16_rows.shape[1])
+        if packed_rows.shape != (n_rows, d // 2) or \
+                scales_rows.shape[0] != n_rows or \
+                bf16_rows.shape[0] != n_rows:
+            raise ValueError("plane shapes disagree with n_rows/dim")
+        chunk = max(256, (min(chunk, _CHUNK) // 256) * 256)
+        padded = -(-(n_rows + max(0, headroom)) // chunk) * chunk
+        bf16 = jnp.zeros((padded, d), jnp.bfloat16)
+        packed = jnp.zeros((padded, d // 2), jnp.int8)
+        scales = jnp.zeros(padded, jnp.float32)
+        bdt = bf16_rows.dtype  # ml_dtypes.bfloat16
+        st_b = np.zeros((chunk, d), bdt)
+        st_p = np.zeros((chunk, d // 2), np.int8)
+        st_s = np.zeros(chunk, np.float32)
+        for start in range(0, padded, chunk):
+            hi = min(start + chunk, n_rows)
+            st_b.fill(0)
+            st_p.fill(0)
+            st_s.fill(0.0)
+            if hi > start:
+                m = hi - start
+                st_b[:m] = bf16_rows[start:hi]
+                st_p[:m] = packed_rows[start:hi]
+                st_s[:m] = scales_rows[start:hi]
+            # Staging buffers are REUSED next iteration while this
+            # patch may still be pending — copy-guard the transfers
+            # (search_lib.staged; CPU jnp.asarray aliases host memory).
+            bf16, packed, scales = _patch_planes_chunk(
+                bf16, packed, scales, search_lib.staged(st_b),
+                search_lib.staged(st_p), search_lib.staged(st_s),
+                jnp.int32(start))
+        return cls.from_device_planes(bf16, packed, scales, mask,
+                                      n_rows, ids=ids)
 
     @classmethod
     def from_gallery(cls, gallery, flt=None, chunk: int = _CHUNK,

@@ -19,6 +19,7 @@ from pathlib import Path
 import numpy as np
 
 from retrieval_based_object_detection_tpu import native
+from retrieval_based_object_detection_tpu.gallery import planes as planes_lib
 from retrieval_based_object_detection_tpu.gallery.store import Gallery, VectorStore
 
 
@@ -231,6 +232,15 @@ def save_gallery(gallery: Gallery, root: str | Path,
     _fsync_dir(root)
     for _, p in _delta_paths(gallery.name, root):
         p.unlink(missing_ok=True)
+    # A new base invalidates any capacity-plane sidecar (its header is
+    # keyed on the OLD snapshot id) — drop the multi-GB stale file
+    # rather than leaving it to fail the identity check forever.
+    # Regenerate with save_capacity_planes after bulk saves.
+    sidecar = planes_lib.sidecar_path(root, gallery.name)
+    if sidecar.exists():
+        sidecar.unlink()
+    if gallery._planes_path == str(sidecar):
+        gallery._planes_path = None
     gallery._snap_root = str(root)
     gallery._snap_id = snap_id
     gallery._snap_seq = 0
@@ -404,7 +414,56 @@ def _apply_deltas(g: Gallery, snap_id: str | None,
     g._snap_dirty.clear()
     g._snap_deleted.clear()
     g._snap_dead_rows.clear()
+    sidecar = planes_lib.sidecar_path(root, g.name)
+    if sidecar.exists():
+        # Record the capacity-plane sidecar; the store validates its
+        # snapshot identity lazily at view-build time (a mismatched or
+        # torn sidecar degrades to the chunked device build).
+        g._planes_path = str(sidecar)
     return g
+
+
+def save_capacity_planes(gallery: Gallery, root: str | Path) -> Path:
+    """Persist the capacity tier's serving planes (bf16 mirror + packed
+    int4 + scales) as a ``<name>.rbod.planes`` sidecar next to the base
+    snapshot, so the NEXT restart's first capacity search streams
+    pre-quantised planes to the device instead of re-deriving them from
+    f32 rows (at 10M×512 that is 13.4 GB uploaded instead of 21.5 GB
+    plus a device quantise pass — DESIGN.md "capacity_10m" restart
+    numbers). Pure host-side CPU+disk work (gallery/planes.py), safe to
+    run after ``save_gallery``/``save_store`` on a live server.
+
+    Requires a saved, churn-free gallery (the sidecar is keyed on the
+    snapshot identity: base id + delta seq) — call immediately after a
+    save. Atomic (temp-then-rename + fsync), like the snapshots."""
+    root = Path(root)
+    if gallery._snap_id is None or gallery._snap_root != str(root):
+        raise ValueError(
+            "save_capacity_planes needs a gallery saved to this root "
+            "(the sidecar is keyed on the base snapshot id) — call "
+            "save_gallery/save_store first")
+    if gallery._snap_dirty or gallery._snap_deleted \
+            or gallery._snap_dead_rows:
+        raise ValueError(
+            "gallery has unsaved churn — save_gallery first so the "
+            "sidecar matches a durable snapshot state")
+    if not gallery._snap_rows_valid:
+        raise ValueError(
+            "live row numbering no longer matches the base snapshot "
+            "(compaction since the save) — rewrite the base first "
+            "(save_gallery(incremental=False))")
+    if gallery.distance != "cosine" or gallery.dim % 2:
+        raise ValueError("capacity planes serve cosine, even-dim "
+                         "collections only")
+    final = planes_lib.sidecar_path(root, gallery.name)
+    tmp = root / f".{gallery.name}.rbod.planes.tmp"
+    n = gallery._nrows
+    planes_lib.write_planes(tmp, gallery._vectors, n, gallery.dim,
+                            gallery._snap_id, gallery._snap_seq)
+    os.replace(tmp, final)
+    _fsync_dir(root)
+    gallery._planes_path = str(final)
+    return final
 
 
 class _FastReplayInvalid(Exception):
@@ -591,6 +650,7 @@ def save_store(store: VectorStore, root: str | Path,
             snap.unlink()
         for _, p in _delta_paths(dead, root):
             p.unlink(missing_ok=True)
+        planes_lib.sidecar_path(root, dead).unlink(missing_ok=True)
     store._tombstones.clear()
     manifest_names = sorted(
         set(names) | {p.stem for p in root.glob("*.rbod")})

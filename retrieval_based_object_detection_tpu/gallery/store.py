@@ -212,6 +212,12 @@ class Gallery:
         self._cap_view = None
         self._cap_pending: list[tuple] = []  # ("rows", lo, hi)|("mask", [r])
         self._cap_mask_cache: dict[Any, jax.Array] = {}
+        # Capacity-plane sidecar (gallery/planes.py): set by the
+        # snapshot loader when a <name>.rbod.planes file sits next to
+        # the base; validity (snapshot id + delta seq match) is checked
+        # lazily at view-build time — a stale sidecar falls back to the
+        # chunked device build.
+        self._planes_path: str | None = None
         # ICI-sharded serving tier (method="sharded", auto once a gallery
         # mesh is attached — attach_mesh): a lazily built WRITABLE
         # ShardedGallerySearcher kept in sync through the same
@@ -1104,7 +1110,8 @@ class Gallery:
     def _ensure_capacity_view_locked(self, CapacitySearcher):
         n = self._nrows
         if self._cap_view is None:
-            self._cap_view = CapacitySearcher(
+            view = self._planes_sidecar_view(CapacitySearcher)
+            self._cap_view = view if view is not None else CapacitySearcher(
                 self._vectors[:n], self._alive[:n].copy(),
                 headroom=max(4096, n // 8))
             self._cap_pending.clear()
@@ -1120,6 +1127,56 @@ class Gallery:
             return self._ensure_capacity_view()
         self._cap_pending.clear()
         return view
+
+    def _planes_sidecar_view(self, CapacitySearcher):
+        """Restore the capacity view from a ``<name>.rbod.planes``
+        sidecar (gallery/planes.py) when one is recorded AND its
+        snapshot identity matches this gallery's live state exactly
+        (same base id, same delta seq, zero unsaved churn, unrenumbered
+        rows) — the restart fast path that skips the f32 upload +
+        device quantise. Returns None (→ chunked build) on any
+        mismatch or read error; the view it returns is byte-equivalent
+        to one built from the same rows (parity-tested)."""
+        if self._planes_path is None:
+            return None
+        from retrieval_based_object_detection_tpu.gallery import planes
+
+        try:
+            hdr = planes.read_header(self._planes_path)
+        except (OSError, ValueError, KeyError) as e:
+            import sys
+
+            print(f"[gallery] WARNING: unreadable planes sidecar "
+                  f"{self._planes_path}: {e} — rebuilding",
+                  file=sys.stderr)
+            self._planes_path = None
+            return None
+        if not (self._snap_id is not None
+                and hdr.get("base_id") == self._snap_id
+                and hdr.get("seq") == self._snap_seq
+                and hdr.get("n") == self._nrows
+                and hdr.get("dim") == self.dim
+                and self._snap_rows_valid
+                and not self._snap_dirty and not self._snap_deleted
+                and not self._snap_dead_rows):
+            return None  # stale: the state moved past the sidecar
+        try:
+            _, bf16, packed, scales = planes.open_sections(
+                self._planes_path)
+            n = self._nrows
+            return CapacitySearcher.from_host_planes(
+                bf16, packed, scales, self._alive[:n].copy(), n,
+                headroom=max(4096, n // 8))
+        except (OSError, ValueError, KeyError) as e:
+            # Torn/truncated sidecar or shape drift: degrade to the
+            # chunked build (narrow catch — a device failure here would
+            # fail the fresh build identically and must surface).
+            import sys
+
+            print(f"[gallery] WARNING: planes sidecar restore failed "
+                  f"({e}) — rebuilding from host rows",
+                  file=sys.stderr)
+            return None
 
     # ------------------------------------------------------ sharded tier
     def attach_mesh(self, mesh) -> None:
