@@ -261,13 +261,21 @@ def _classify(tower_params, clip_cfg, g_root: Path, t_root: Path,
         root_dir=str(t_root), cases=("pre_a",), match_mode="nearest"),
         write_outputs=False)
     acc: dict[str, float] = {}
+    confusion: dict[str, dict[str, int]] = {}
     for dtype in ("average", "centroid", "weighted", "medoid"):
         rows = [r for r in out.rows if r.delegate_type == dtype]
         assert rows, f"no nearest-mode rows for {dtype}"
         acc[dtype] = float(np.mean(
             [r.predicted_class == r.true_class for r in rows]))
+        cm: dict[str, dict[str, int]] = {}
+        for r in rows:
+            cm.setdefault(r.true_class, {})
+            cm[r.true_class][r.predicted_class] = \
+                cm[r.true_class].get(r.predicted_class, 0) + 1
+        confusion[dtype] = cm
     acc["mean_score"] = float(np.mean(
         [r.similarity_score for r in out.rows]))
+    acc["confusion"] = confusion
     return acc, gallery
 
 
@@ -275,7 +283,8 @@ def evaluate(tmp_dir: str | None = None, epochs: int = 18,
              n_gallery: int = 24, n_aug: int = 6, n_test: int = 12,
              seed: int = 0, batch_size: int = 32,
              classes: list[str] | None = None,
-             n_fidelity_members: int = 250) -> dict:
+             n_fidelity_members: int = 250,
+             with_floor: bool = True) -> dict:
     """Defaults are the headline configuration: trained top-1
     0.84-0.85 per delegate type vs 0.11-0.21 floor (n_aug sweep:
     2→0.72, 4→0.79, 6→0.85 — training-domain diversity is the binding
@@ -320,8 +329,8 @@ def evaluate(tmp_dir: str | None = None, epochs: int = 18,
 
         trained, trained_gallery = _classify(tower, clip_cfg, g_root,
                                              t_root, batch_size)
-        floor, _ = _classify(floor_tower, clip_cfg, g_root, t_root,
-                             batch_size)
+        floor = (_classify(floor_tower, clip_cfg, g_root, t_root,
+                           batch_size)[0] if with_floor else None)
         # Serving-tier fidelity on the TRAINED class-structured
         # distribution (within-class near-ties — the 4-bit stress).
         # The member pool must EXCEED the tiers' rescore depth (256),
@@ -352,28 +361,71 @@ def evaluate(tmp_dir: str | None = None, epochs: int = 18,
                                          img_type="natural",
                                          batch_size=batch_size,
                                          image_size=clip_cfg.image_size))
-        tiers = tier_fidelity(trained_gallery, g_root, t_root)
-        return {"trained": trained, "floor": floor, "tiers": tiers,
-                "train": train_metrics,
-                "n_test": n_test * len(classes or CLASS_SPECS)}
+        out = {"trained": trained, "train": train_metrics,
+               "n_test": n_test * len(classes or CLASS_SPECS)}
+        if floor is not None:
+            out["floor"] = floor
+        if n_fidelity_members:
+            out["tiers"] = tier_fidelity(trained_gallery, g_root, t_root)
+        return out
     finally:
         if own_tmp:
             shutil.rmtree(tmp, ignore_errors=True)
 
 
+def print_confusion(cm: dict[str, dict[str, int]]) -> None:
+    """Render one delegate type's confusion matrix (true rows ×
+    predicted columns) — the VERDICT r4 #7 diagnostic: WHICH class
+    pairs absorb the residual errors."""
+    classes = sorted(cm)
+    width = max(len(c) for c in classes) + 1
+    print(" " * width + " ".join(f"{c:>{width}}" for c in classes))
+    for t in classes:
+        row = cm.get(t, {})
+        cells = " ".join(f"{row.get(p, 0):>{width}}" for p in classes)
+        wrong = sum(v for p, v in row.items() if p != t)
+        print(f"{t:>{width}}{cells}" + ("   <- errs" if wrong else ""))
+
+
 def main():
+    import argparse
+
     from retrieval_based_object_detection_tpu.utils.platform import force_cpu
 
     force_cpu()
-    res = evaluate()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=18)
+    ap.add_argument("--n-gallery", type=int, default=24)
+    ap.add_argument("--n-aug", type=int, default=6)
+    ap.add_argument("--n-test", type=int, default=12)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-floor", action="store_true",
+                    help="skip the random-init floor run (sweep mode)")
+    ap.add_argument("--no-fidelity", action="store_true",
+                    help="skip the tier-fidelity pass (sweep mode)")
+    ap.add_argument("--confusion", action="store_true",
+                    help="print per-delegate confusion matrices")
+    args = ap.parse_args()
+    res = evaluate(epochs=args.epochs, n_gallery=args.n_gallery,
+                   n_aug=args.n_aug, n_test=args.n_test, seed=args.seed,
+                   with_floor=not args.no_floor,
+                   n_fidelity_members=0 if args.no_fidelity else 250)
     print("nearest-mode top-1 over", res["n_test"], "held-out natural "
           "renders x 8 classes (train", res["train"], ")")
     for kind in ("trained", "floor"):
+        if kind not in res:
+            continue
         row = res[kind]
         print(f"  {kind:8s}: " + "  ".join(
             f"{d}={row[d]:.3f}" for d in
             ("average", "centroid", "weighted", "medoid"))
             + f"  mean_cos={row['mean_score']:.3f}")
+    if args.confusion:
+        for dtype in ("average", "medoid"):
+            print(f"confusion ({dtype}, trained):")
+            print_confusion(res["trained"]["confusion"][dtype])
+    if "tiers" not in res:
+        return
     print("serving-tier fidelity on the trained distribution "
           "(vs exact, k=10):")
     for m in ("exact", "int8", "int4", "capacity"):

@@ -447,6 +447,43 @@ def bench_capacity_10m(quick: bool) -> dict:
     assert r.payload.class_name == "written"
     out["first_retrieve_after_restart_ms"] = round(
         (_time.perf_counter() - t0) * 1000, 1)
+
+    # ---- 7. capacity-plane sidecar: restart-to-first-search ---------
+    # (VERDICT r4 weak #5: the 646-913 s cold start re-pays the full
+    # f32 upload + device quantise on every restart. The sidecar
+    # persists the planes at save time — phase 2 above is the
+    # same-build baseline to compare first_search_after_planes_s
+    # against.) Free the first build's 12.5 GB of planes first: two
+    # live capacity views would OOM a 16 GB chip.
+    del view, mask
+    g._cap_view = None
+    g2.upsert(wids[:1], new_rows[:1], wpls[:1])  # dirty -> delta save
+    persist.save_store(s2, root / "snap")
+    t0 = _time.perf_counter()
+    persist.save_capacity_planes(g2, root / "snap")
+    out["save_planes_s"] = round(_time.perf_counter() - t0, 1)
+    out["planes_gb"] = round(
+        _os.path.getsize(root / "snap" / "cap10m.rbod.planes") / 2**30, 2)
+    del s2, g2
+    t0 = _time.perf_counter()
+    s3 = persist.load_store(root / "snap", mmap_vectors=True)
+    g3 = s3.get("cap10m")
+    assert g3._planes_path, "sidecar must be recorded on load"
+    from retrieval_based_object_detection_tpu.gallery import (
+        planes as planes_lib,
+    )
+
+    hdr = planes_lib.read_header(g3._planes_path)
+    assert (hdr["base_id"] == g3._snap_id
+            and hdr["seq"] == g3._snap_seq
+            and hdr["n"] == g3._nrows), \
+        "sidecar identity mismatch — the timed search would silently " \
+        "measure the fallback build"
+    hits = g3.search(q16, k=10, exact=False)
+    out["first_search_after_planes_s"] = round(
+        _time.perf_counter() - t0, 1)
+    assert g3._cap_view is not None and all(len(h) == 10 for h in hits)
+
     out["host_rss_gb_peak"] = rss_gb("VmHWM")
     _shutil.rmtree(root, ignore_errors=True)
     return out
