@@ -284,7 +284,8 @@ def evaluate(tmp_dir: str | None = None, epochs: int = 18,
              seed: int = 0, batch_size: int = 32,
              classes: list[str] | None = None,
              n_fidelity_members: int = 250,
-             with_floor: bool = True) -> dict:
+             with_floor: bool = True, augment: bool = False,
+             lr_schedule: str = "constant") -> dict:
     """Defaults are the headline configuration: trained top-1
     0.84-0.85 per delegate type vs 0.11-0.21 floor (n_aug sweep:
     2→0.72, 4→0.79, 6→0.85 — training-domain diversity is the binding
@@ -322,7 +323,8 @@ def evaluate(tmp_dir: str | None = None, epochs: int = 18,
                          # Cosine-softmax head: cross-entropy optimises
                          # the exact geometry delegate retrieval scores
                          # with (linear head: 0.73 top-1 here).
-                         head="cosine"),
+                         head="cosine", augment=augment,
+                         lr_schedule=lr_schedule),
             mesh)
         tower = jax.device_get(trained_params["tower"])
         floor_tower = M.init_params(clip_cfg, seed=seed)
@@ -399,6 +401,10 @@ def main():
     ap.add_argument("--n-aug", type=int, default=6)
     ap.add_argument("--n-test", type=int, default=12)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--augment", action="store_true",
+                    help="train-time augmentation (FitConfig.augment)")
+    ap.add_argument("--lr-schedule", default="constant",
+                    choices=["constant", "cosine"])
     ap.add_argument("--no-floor", action="store_true",
                     help="skip the random-init floor run (sweep mode)")
     ap.add_argument("--no-fidelity", action="store_true",
@@ -409,7 +415,8 @@ def main():
     res = evaluate(epochs=args.epochs, n_gallery=args.n_gallery,
                    n_aug=args.n_aug, n_test=args.n_test, seed=args.seed,
                    with_floor=not args.no_floor,
-                   n_fidelity_members=0 if args.no_fidelity else 250)
+                   n_fidelity_members=0 if args.no_fidelity else 250,
+                   augment=args.augment, lr_schedule=args.lr_schedule)
     print("nearest-mode top-1 over", res["n_test"], "held-out natural "
           "renders x 8 classes (train", res["train"], ")")
     for kind in ("trained", "floor"):

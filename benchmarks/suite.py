@@ -575,6 +575,93 @@ def bench_store_api(quick: bool) -> dict:
     return out
 
 
+def bench_concurrent_search(quick: bool) -> dict:
+    """Concurrent-search throughput through GalleryService at 1M×512
+    with 16 client threads (VERDICT r4 weak #1 measurement): the
+    per-collection RW locks (utils/locks.py) vs the round-4 behaviour —
+    one global lock serializing every operation — emulated by wrapping
+    the same service call in a single shared RLock. Measured at the
+    service layer (the lock layer under both the native handler and the
+    Qdrant façade); HTTP adds identical per-request overhead to both
+    modes. Single-query bodies, k=10, serving tier (exact=False):
+    the realistic client shape."""
+    import shutil as _shutil
+    import tempfile
+    import threading as _threading
+    import time as _time
+
+    import numpy as np
+
+    from retrieval_based_object_detection_tpu.gallery.schema import Payload
+    from retrieval_based_object_detection_tpu.gallery.server import (
+        GalleryService,
+    )
+
+    n = 100_000 if quick else 1_048_576
+    n_threads, iters = 16, (10 if quick else 20)
+    root = Path(tempfile.mkdtemp(prefix="conc_bench_"))
+    try:
+        svc = GalleryService(root)
+        g = svc.store.create_collection("conc", dim=512)
+        rng = np.random.default_rng(0)
+        chunk = 1 << 17
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            vecs = rng.normal(size=(hi - lo, 512)).astype(np.float32)
+            vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+            g.upsert([f"p{i}" for i in range(lo, hi)], vecs,
+                     [Payload(data_type="original_images",
+                              class_name=f"c{i % 37}",
+                              img_path=f"/i/{i}.jpg")
+                      for i in range(lo, hi)])
+        queries = rng.normal(size=(n_threads, iters, 512)
+                             ).astype(np.float32)
+
+        def call(q):
+            r = svc.search("conc", {"queries": q[None], "k": 10,
+                                    "exact": False})
+            assert len(r["results"][0]) == 10
+
+        call(queries[0, 0])  # warm: device mirrors + compiles
+        t0 = _time.perf_counter()
+        call(queries[0, 1])
+        single_ms = (_time.perf_counter() - t0) * 1000
+
+        glock = _threading.RLock()
+
+        def run(mode: str) -> float:
+            def worker(t):
+                barrier.wait()
+                for i in range(iters):
+                    if mode == "global":
+                        with glock:
+                            call(queries[t, i])
+                    else:
+                        call(queries[t, i])
+
+            barrier = _threading.Barrier(n_threads + 1)
+            ts = [_threading.Thread(target=worker, args=(t,))
+                  for t in range(n_threads)]
+            for t in ts:
+                t.start()
+            barrier.wait()
+            t0 = _time.perf_counter()
+            for t in ts:
+                t.join()
+            return n_threads * iters / (_time.perf_counter() - t0)
+
+        out = {"rows": n, "threads": n_threads,
+               "single_thread_search_ms": round(single_ms, 1)}
+        # global first so page/jit caches can only favour the OLD mode.
+        out["qps_global_lock"] = round(run("global"), 1)
+        out["qps_rwlock"] = round(run("rwlock"), 1)
+        out["speedup"] = round(out["qps_rwlock"]
+                               / max(out["qps_global_lock"], 1e-9), 2)
+        return out
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_retrieval_quality(quick: bool) -> dict:
     """Trained-tower nearest-mode top-1 vs random-init floor on held-out
     natural renders (the quality headline — benchmarks/retrieval_quality
@@ -605,8 +692,8 @@ def main() -> None:
     ap.add_argument("--only", nargs="*", default=None,
                     choices=["embed", "preprocess", "delegates", "serving",
                              "gallery", "scan", "scan_int4", "capacity_10m",
-                             "store_api", "ingest", "retrieval_quality",
-                             "segmentation_quality"])
+                             "store_api", "ingest", "concurrent",
+                             "retrieval_quality", "segmentation_quality"])
     args = ap.parse_args()
     if args.only is not None and not args.only:
         ap.error("--only given without bench names (omit the flag to run "
@@ -623,6 +710,7 @@ def main() -> None:
         "capacity_10m": bench_capacity_10m,
         "store_api": bench_store_api,
         "ingest": bench_ingest,
+        "concurrent": bench_concurrent_search,
         "retrieval_quality": bench_retrieval_quality,
         "segmentation_quality": bench_segmentation_quality,
     }

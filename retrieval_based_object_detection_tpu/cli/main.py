@@ -1038,7 +1038,9 @@ def cmd_finetune(args) -> int:
         root_dir=args.root, img_type=args.type, epochs=args.epochs,
         batch_size=args.batch_size, learning_rate=args.lr,
         checkpoint_dir=args.resume_dir, seed=args.seed,
-        compute_dtype=args.compute_dtype), mesh, params=init_params_)
+        compute_dtype=args.compute_dtype, head=args.head,
+        lr_schedule=args.lr_schedule, augment=args.augment),
+        mesh, params=init_params_)
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     (out / "clip_config.json").write_text(
@@ -1521,6 +1523,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--compute-dtype", default="bfloat16",
                     choices=("float32", "bfloat16"))
+    sp.add_argument("--head", default="linear",
+                    choices=("linear", "cosine"),
+                    help="cosine = retrieval-aligned classifier head")
+    sp.add_argument("--lr-schedule", default="constant",
+                    choices=("constant", "cosine"),
+                    help="cosine = linear warmup + cosine decay")
+    sp.add_argument("--augment", action="store_true",
+                    help="train-time augmentation (brightness jitter, "
+                         "translation, noise — label-preserving, no flips)")
     sp.add_argument("--dp", type=int, default=0, help="0 = auto")
     sp.add_argument("--tp", type=int, default=0, help="0 = auto")
     sp.add_argument("--clip-checkpoint")

@@ -39,6 +39,13 @@ class FitConfig:
     seed: int = 0
     compute_dtype: str = "bfloat16"
     head: str = "linear"  # "linear" | "cosine" (see train.TrainConfig)
+    lr_schedule: str = "constant"  # "constant" | "cosine" (warmup+decay)
+    # Train-time augmentation (label-preserving for product crops:
+    # brightness jitter, wraparound translation, pixel noise — NO flips
+    # or right-angle rotations, which remap oriented textures across
+    # classes). Stochastic per epoch, so fixed trees stop being
+    # memorised verbatim. Measured: DESIGN "Retrieval quality (r5)".
+    augment: bool = False
 
 
 def fit(
@@ -54,10 +61,13 @@ def fit(
     if not entries:
         raise ValueError(f"no images under {cfg.root_dir}/{cfg.img_type}_images")
 
+    steps_per_epoch = len(entries) // cfg.batch_size
     tcfg = T.TrainConfig(num_classes=len(classes),
                          learning_rate=cfg.learning_rate,
                          compute_dtype=cfg.compute_dtype,
-                         head=cfg.head)
+                         head=cfg.head,
+                         lr_schedule=cfg.lr_schedule,
+                         total_steps=max(cfg.epochs * steps_per_epoch, 1))
     state_params, opt_state = T.init_state(clip_config, tcfg,
                                            seed=cfg.seed, params=params)
     state_params, opt_state = T.place(state_params, opt_state, mesh)
@@ -103,8 +113,23 @@ def fit(
     log = StageLogger("train")
     timer = ThroughputTimer("images")
     rng = np.random.default_rng(cfg.seed)
+    aug_rng = np.random.default_rng(cfg.seed + 7919)
+    # Brightness jitter operates on RAW pixel values; in normalised
+    # space (x - m)/s a raw scale b becomes b·x + (b-1)·m/s.
+    mean_over_std = (pp.CLIP_MEAN / pp.CLIP_STD).astype(np.float32)
     metrics = {}
     step = start_step
+
+    def augment(arr: np.ndarray) -> np.ndarray:
+        b = np.float32(aug_rng.uniform(0.85, 1.15))
+        arr = b * arr + (b - 1.0) * mean_over_std
+        s = arr.shape[0]
+        ty, tx = aug_rng.integers(-(s // 8), s // 8 + 1, size=2)
+        # Wraparound translation: cheap, static-shape; the wrapped strip
+        # is background/clutter, never the (centered) object.
+        arr = np.roll(arr, (ty, tx), axis=(0, 1))
+        arr = arr + aug_rng.normal(0.0, 0.04, arr.shape)
+        return arr.astype(np.float32)
 
     def prepare(chunk):
         imgs, labels = [], []
@@ -112,7 +137,7 @@ def fit(
             arr = pp.load_and_preprocess(e.path, size=clip_config.image_size)
             if arr is None:
                 continue
-            imgs.append(arr)
+            imgs.append(augment(arr) if cfg.augment else arr)
             labels.append(class_to_id[e.class_name])
         return imgs, labels
 

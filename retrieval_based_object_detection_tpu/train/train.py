@@ -41,6 +41,13 @@ class TrainConfig:
     # 0.73 linear → see benchmarks/retrieval_quality.py for cosine).
     head: str = "linear"  # "linear" | "cosine"
     cosine_scale: float = 16.0
+    # LR schedule: "constant" (reference-era default) or "cosine" —
+    # linear warmup over min(total_steps/10, 100) steps then cosine
+    # decay to lr/100 at ``total_steps``. Requires total_steps > 0.
+    # Measured on the retrieval-quality benchmark: see DESIGN.md
+    # "Retrieval quality (round 5)".
+    lr_schedule: str = "constant"  # "constant" | "cosine"
+    total_steps: int = 0
     # Rematerialise the tower to trade FLOPs for HBM. OFF by default:
     # ViT-B/32 activations fit at practical batches and remat costs
     # 15-20% measured (v5e, B=64/128 — DESIGN.md "Training"). Enable for
@@ -71,7 +78,20 @@ def init_state(
 
 
 def make_optimizer(cfg: TrainConfig):
-    return optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    if cfg.lr_schedule == "cosine":
+        if cfg.total_steps <= 0:
+            raise ValueError("lr_schedule='cosine' needs total_steps > 0 "
+                             "(the schedule must know its horizon)")
+        warmup = min(max(cfg.total_steps // 10, 1), 100)
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=cfg.learning_rate,
+            warmup_steps=warmup, decay_steps=cfg.total_steps,
+            end_value=cfg.learning_rate / 100)
+    elif cfg.lr_schedule == "constant":
+        lr = cfg.learning_rate
+    else:
+        raise ValueError(f"unknown lr_schedule: {cfg.lr_schedule!r}")
+    return optax.adamw(lr, weight_decay=cfg.weight_decay)
 
 
 def loss_fn(params, images, labels, clip_config, cfg: TrainConfig):

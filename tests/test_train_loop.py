@@ -48,6 +48,29 @@ def test_fit_learns_and_checkpoints(crop_tree, tmp_path):
     assert metrics2["accuracy"] >= 0.7
 
 
+def test_fit_augment_and_cosine_schedule(crop_tree):
+    """The round-5 quality levers: train-time augmentation (label-
+    preserving jitter in the loader) + warmup-cosine LR both run through
+    fit() and still learn the two-colour toy problem."""
+    mesh = make_mesh({"dp": 8})
+    cfg = TL.FitConfig(
+        root_dir=str(crop_tree), epochs=3, batch_size=8,
+        learning_rate=3e-3, compute_dtype="float32",
+        augment=True, lr_schedule="cosine")
+    params, metrics = TL.fit(TINY, cfg, mesh)
+    assert np.isfinite(metrics["loss"])
+    assert metrics["accuracy"] > 0.7, metrics
+
+
+def test_cosine_schedule_needs_horizon():
+    with pytest.raises(ValueError, match="total_steps"):
+        T.make_optimizer(T.TrainConfig(num_classes=2,
+                                       lr_schedule="cosine"))
+    with pytest.raises(ValueError, match="lr_schedule"):
+        T.make_optimizer(T.TrainConfig(num_classes=2,
+                                       lr_schedule="linear"))
+
+
 def test_fit_errors_on_oversized_batch(crop_tree):
     mesh = make_mesh({"dp": 8})
     cfg = TL.FitConfig(root_dir=str(crop_tree), batch_size=64,
