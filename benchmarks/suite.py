@@ -670,8 +670,11 @@ def bench_retrieval_quality(quick: bool) -> dict:
     from benchmarks import retrieval_quality as RQ
 
     if quick:
-        return RQ.evaluate(epochs=12, n_gallery=16, n_aug=3, n_test=8,
-                           classes=["prod0", "prod1", "prod3", "prod6"])
+        # The 4-class gate recipe (tests/test_retrieval_quality.py):
+        # cosine decays too early at this step count, constant LR wins.
+        return RQ.evaluate(epochs=24, n_gallery=16, n_aug=3, n_test=8,
+                           classes=["prod0", "prod1", "prod3", "prod6"],
+                           augment=True, lr_schedule="constant")
     return RQ.evaluate()
 
 
