@@ -29,6 +29,11 @@ class RWLock:
       collection) stay deadlock-free.
     * No upgrades: a thread holding only the read side must release it
       before taking the write side.
+    * No reentrant reads: writer preference means a thread re-entering
+      ``read()`` while a writer is queued deadlocks with that writer
+      (the classic tradeoff). Service handlers therefore acquire
+      exactly ONE lock scope per request (see ``GalleryService.
+      read_locked``/``write_locked`` call sites) — keep it that way.
     """
 
     def __init__(self) -> None:
